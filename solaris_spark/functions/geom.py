@@ -1,0 +1,869 @@
+"""Pure-NumPy geometry kernels for the Spark engine.
+
+These re-implement the geometry semantics the reference delegates to
+shapely/GEOS, as vectorizable NumPy functions usable inside pandas/Arrow
+UDFs (no shapely in this sandbox).  Reference parity targets:
+
+- WKT parse/dump           → solaris/utils/core.py:74-85
+- affine transform         → solaris/vector/polygon.py:17-89
+- shoelace area / length   → gdf.area/.length uses (e.g. tile/vector_tile.py:291,297)
+- rect clip (clip_gdf)     → solaris/tile/vector_tile.py:227-324
+- polygon∩polygon area     → solaris/eval/iou.py:33-38 (IoU numerator)
+- grid generation          → solaris/utils/geo.py:743-837 (split_geom)
+- Douglas-Peucker simplify → solaris/vector/mask.py:804-807
+- UTM↔WGS84 reprojection   → solaris/utils/geo.py:24-182 (only CRS pair the
+                              fixtures exercise; tests tolerate 1e-5 rel. area)
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WKT
+# ---------------------------------------------------------------------------
+
+_NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+
+
+def _parse_ring(txt: str) -> np.ndarray:
+    pts = []
+    for pair in txt.split(","):
+        parts = pair.split()
+        pts.append((float(parts[0]), float(parts[1])))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _split_parens(body: str, depth_open: int) -> list[str]:
+    """Split a WKT body into top-level paren groups at the given depth."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+            if depth == depth_open:
+                start = i + 1
+        elif ch == ")":
+            if depth == depth_open:
+                groups.append(body[start:i])
+            depth -= 1
+    return groups
+
+
+def wkt_parse(wkt: str):
+    """Parse WKT → (geom_type, parts).
+
+    parts layout:
+      POINT           → [array (1,2)]
+      LINESTRING      → [array (n,2)]
+      POLYGON         → [ring0, ring1, ...]            (exterior first)
+      MULTIPOLYGON    → [[rings...], [rings...], ...]
+      MULTILINESTRING → [array, array, ...]
+    Empty geometries → (type, []).
+    """
+    wkt = wkt.strip()
+    m = re.match(r"([A-Za-z]+)\s*(.*)", wkt, re.S)
+    gtype = m.group(1).upper()
+    body = m.group(2).strip()
+    if body.upper() == "EMPTY" or body == "":
+        return gtype, []
+    if gtype == "POINT":
+        return gtype, [_parse_ring(body.strip("() "))]
+    if gtype == "LINESTRING":
+        return gtype, [_parse_ring(body.strip("() "))]
+    if gtype == "POLYGON":
+        return gtype, [_parse_ring(g) for g in _split_parens(body, 2)]
+    if gtype == "MULTILINESTRING":
+        return gtype, [_parse_ring(g) for g in _split_parens(body, 2)]
+    if gtype == "MULTIPOLYGON":
+        polys = []
+        for poly_body in _split_parens(body, 2):
+            polys.append([_parse_ring(g) for g in _split_parens("(" + poly_body + ")", 2)])
+        return gtype, polys
+    raise ValueError(f"unsupported WKT type: {gtype}")
+
+
+def _fmt_coord(v: float) -> str:
+    # shapely.wkt.dumps-style default full precision; trim trailing zeros like repr
+    return repr(float(v))
+
+
+def _dump_ring(ring: np.ndarray) -> str:
+    return "(" + ", ".join(f"{_fmt_coord(x)} {_fmt_coord(y)}" for x, y in ring) + ")"
+
+
+def wkt_dump(gtype: str, parts) -> str:
+    gtype = gtype.upper()
+    if not parts:
+        return f"{gtype} EMPTY"
+    if gtype == "POINT":
+        x, y = parts[0][0]
+        return f"POINT ({_fmt_coord(x)} {_fmt_coord(y)})"
+    if gtype == "LINESTRING":
+        return "LINESTRING " + _dump_ring(parts[0])
+    if gtype == "POLYGON":
+        return "POLYGON (" + ", ".join(_dump_ring(r) for r in parts) + ")"
+    if gtype == "MULTILINESTRING":
+        return "MULTILINESTRING (" + ", ".join(_dump_ring(r) for r in parts) + ")"
+    if gtype == "MULTIPOLYGON":
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(_dump_ring(r) for r in poly) + ")" for poly in parts
+        ) + ")"
+    raise ValueError(gtype)
+
+
+def polygon_rings(wkt: str) -> list[np.ndarray]:
+    """All rings of a POLYGON/MULTIPOLYGON as a flat list (exterior CCW-agnostic)."""
+    gtype, parts = wkt_parse(wkt)
+    if gtype == "POLYGON":
+        return list(parts)
+    if gtype == "MULTIPOLYGON":
+        return [r for poly in parts for r in poly]
+    if not parts:
+        return []
+    raise ValueError(f"expected polygonal WKT, got {gtype}")
+
+
+# ---------------------------------------------------------------------------
+# Areas / lengths / bounds
+# ---------------------------------------------------------------------------
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    # center first: raw geo coords (~1e6) lose ~10 digits to cancellation
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def polygon_area(wkt_or_rings) -> float:
+    """Unsigned area matching shapely .area (exterior minus holes).
+
+    Implemented as |sum of signed ring areas| per polygon with hole rings
+    opposing the exterior — matches GEOS for valid polygons.
+    """
+    gtype, parts = (wkt_parse(wkt_or_rings) if isinstance(wkt_or_rings, str)
+                    else ("POLYGON", wkt_or_rings))
+    if not parts:
+        return 0.0
+    polys = parts if gtype == "MULTIPOLYGON" else [parts]
+    total = 0.0
+    for rings in polys:
+        ext = abs(ring_signed_area(rings[0]))
+        holes = sum(abs(ring_signed_area(r)) for r in rings[1:])
+        total += ext - holes
+    return total
+
+
+def line_length(coords: np.ndarray) -> float:
+    d = np.diff(coords, axis=0)
+    return float(np.sqrt((d ** 2).sum(axis=1)).sum())
+
+
+def geom_bounds(wkt: str) -> tuple[float, float, float, float]:
+    gtype, parts = wkt_parse(wkt)
+    if not parts:
+        return (math.nan,) * 4
+    if gtype == "MULTIPOLYGON":
+        arrs = [r for poly in parts for r in poly]
+    else:
+        arrs = parts
+    allc = np.vstack(arrs)
+    return (float(allc[:, 0].min()), float(allc[:, 1].min()),
+            float(allc[:, 0].max()), float(allc[:, 1].max()))
+
+
+# ---------------------------------------------------------------------------
+# Affine (solaris/vector/polygon.py:17-89 convert_poly_coords)
+# ---------------------------------------------------------------------------
+
+def affine_apply(coords: np.ndarray, t) -> np.ndarray:
+    """Apply affine (a,b,c,d,e,f): x' = a*x + b*y + c ; y' = d*x + e*y + f."""
+    a, b, c, d, e, f = t
+    x, y = coords[:, 0], coords[:, 1]
+    return np.stack([a * x + b * y + c, d * x + e * y + f], axis=1)
+
+
+def affine_invert(t):
+    a, b, c, d, e, f = t
+    det = a * e - b * d
+    ia, ib, id_, ie = e / det, -b / det, -d / det, a / det
+    return (ia, ib, -(ia * c + ib * f), id_, ie, -(id_ * c + ie * f))
+
+
+def gdal_to_affine(g):
+    """GDAL order (c, a, b, f, d, e) → (a, b, c, d, e, f) — per
+    solaris/utils/geo.py:392-418 (list_to_affine)."""
+    g = list(g)
+    if len(g) > 6:
+        g = g[:6]
+    # rasterio.transform.tastes_like_gdal: gdal order iff rotation slots
+    # (positions 2 and 4 of a GDAL geotransform) are both exactly 0.0
+    if g[2] == 0.0 and g[4] == 0.0:
+        return (g[1], g[2], g[0], g[4], g[5], g[3])
+    return tuple(g)
+
+
+def transform_wkt(wkt: str, t, inverse: bool = False) -> str:
+    """convert_poly_coords equivalent: affine-transform every coordinate."""
+    if inverse:
+        t = affine_invert(t)
+    gtype, parts = wkt_parse(wkt)
+    if not parts:
+        return wkt
+    if gtype == "MULTIPOLYGON":
+        new = [[affine_apply(r, t) for r in poly] for poly in parts]
+    else:
+        new = [affine_apply(r, t) for r in parts]
+    return wkt_dump(gtype, new)
+
+
+# ---------------------------------------------------------------------------
+# Point in polygon (even-odd, half-open edge rule — consistent with GDAL
+# scanline rasterization so masks and predicates agree)
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd crossing parity of points vs one ring. Vectorized (P,) bool."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    inside = np.zeros(px.shape, dtype=bool)
+    for ex1, ey1, ex2, ey2 in zip(x1, y1, x2, y2):
+        if ey1 == ey2:
+            continue
+        lo, hi = (ey1, ey2) if ey1 < ey2 else (ey2, ey1)
+        cond = (py >= lo) & (py < hi)
+        if not cond.any():
+            continue
+        xint = ex1 + (py - ey1) * (ex2 - ex1) / (ey2 - ey1)
+        inside ^= cond & (xint <= px)
+    return inside
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    inside = np.zeros(np.shape(px), dtype=bool)
+    for r in rings:
+        inside ^= points_in_ring(px, py, r)
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# Segment intersection / rect-polygon intersects (grid AOI filter,
+# split_geom's `not geometry.intersection(box).is_empty` — touching counts)
+# ---------------------------------------------------------------------------
+
+def _orient(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_seg(ax, ay, bx, by, px_, py_):
+    return (min(ax, bx) <= px_ <= max(ax, bx)) and (min(ay, by) <= py_ <= max(ay, by))
+
+
+def segments_intersect(a1, a2, b1, b2) -> bool:
+    d1 = _orient(*b1, *b2, *a1)
+    d2 = _orient(*b1, *b2, *a2)
+    d3 = _orient(*a1, *a2, *b1)
+    d4 = _orient(*a1, *a2, *b2)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 != 0 and d2 != 0 and d3 != 0 and d4 != 0:
+        return True
+    if d1 == 0 and _on_seg(*b1, *b2, *a1):
+        return True
+    if d2 == 0 and _on_seg(*b1, *b2, *a2):
+        return True
+    if d3 == 0 and _on_seg(*a1, *a2, *b1):
+        return True
+    if d4 == 0 and _on_seg(*a1, *a2, *b2):
+        return True
+    return False
+
+
+def rect_intersects_polygon(rect, rings: list[np.ndarray]) -> bool:
+    """True iff closed rect [xmin,ymin,xmax,ymax] touches/overlaps the polygon."""
+    xmin, ymin, xmax, ymax = rect
+    if not rings:
+        return False
+    allc = np.vstack(rings)
+    if allc[:, 0].max() < xmin or allc[:, 0].min() > xmax:
+        return False
+    if allc[:, 1].max() < ymin or allc[:, 1].min() > ymax:
+        return False
+    # any polygon vertex inside the closed rect
+    inside_rect = ((allc[:, 0] >= xmin) & (allc[:, 0] <= xmax)
+                   & (allc[:, 1] >= ymin) & (allc[:, 1] <= ymax))
+    if inside_rect.any():
+        return True
+    # any rect corner inside the polygon
+    cx = np.array([xmin, xmax, xmax, xmin])
+    cy = np.array([ymin, ymin, ymax, ymax])
+    if points_in_polygon(cx, cy, rings).any():
+        return True
+    # edge-edge intersection
+    corners = [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)]
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            a1 = (ring[i, 0], ring[i, 1])
+            a2 = (ring[i + 1, 0], ring[i + 1, 1])
+            for j in range(4):
+                if segments_intersect(a1, a2, corners[j], corners[j + 1]):
+                    return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Sutherland–Hodgman clip of a polygon by an axis-aligned rect
+# (clip_gdf's gdf.intersection(box), solaris/tile/vector_tile.py:304)
+# ---------------------------------------------------------------------------
+
+def clip_ring_rect(ring: np.ndarray, rect) -> np.ndarray:
+    """Clip one ring to the rect. Returns (n,2) closed ring or empty array.
+
+    Sutherland–Hodgman: exact areas for any simple subject polygon (possible
+    zero-width bridges for non-convex subjects don't change area — the parity
+    the reference's area-overlap test checks)."""
+    xmin, ymin, xmax, ymax = rect
+    pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    pts = [tuple(p) for p in pts]
+
+    def clip_edge(points, inside, intersect):
+        out = []
+        n = len(points)
+        for i in range(n):
+            cur, prev = points[i], points[i - 1]
+            cin, pin = inside(cur), inside(prev)
+            if cin:
+                if not pin:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prev, cur))
+        return out
+
+    for edge in range(4):
+        if not pts:
+            return np.empty((0, 2))
+        if edge == 0:
+            inside = lambda p: p[0] >= xmin
+            inter = lambda p, c: (xmin, p[1] + (c[1] - p[1]) * (xmin - p[0]) / (c[0] - p[0]))
+        elif edge == 1:
+            inside = lambda p: p[0] <= xmax
+            inter = lambda p, c: (xmax, p[1] + (c[1] - p[1]) * (xmax - p[0]) / (c[0] - p[0]))
+        elif edge == 2:
+            inside = lambda p: p[1] >= ymin
+            inter = lambda p, c: (p[0] + (c[0] - p[0]) * (ymin - p[1]) / (c[1] - p[1]), ymin)
+        else:
+            inside = lambda p: p[1] <= ymax
+            inter = lambda p, c: (p[0] + (c[0] - p[0]) * (ymax - p[1]) / (c[1] - p[1]), ymax)
+        pts = clip_edge(pts, inside, inter)
+
+    if len(pts) < 3:
+        return np.empty((0, 2))
+    arr = np.asarray(pts + [pts[0]], dtype=np.float64)
+    return arr
+
+
+def clip_polygon_rect_area(rings: list[np.ndarray], rect) -> float:
+    """Area of polygon ∩ rect (signed-ring aggregation handles holes)."""
+    total = 0.0
+    for r in rings:
+        clipped = clip_ring_rect(r, rect)
+        if len(clipped):
+            s = ring_signed_area(r)
+            total += math.copysign(abs(ring_signed_area(clipped)), 1.0) * (1.0 if s >= 0 else -1.0)
+    return abs(total)
+
+
+# ---------------------------------------------------------------------------
+# Polygon ∩ polygon area — signed fan-triangle decomposition.
+# area(A∩B) = Σ_i Σ_j s_i s_j area(T_i ∩ T_j) with T = fan triangles
+# (O, v_k, v_{k+1}); exact for simple polygons incl. holes.  Used for IoU
+# (solaris/eval/iou.py:33-38: iou = inter / (a1 + a2 − inter)).
+# ---------------------------------------------------------------------------
+
+def _clip_convex(subject: list, cx: np.ndarray, cy: np.ndarray) -> list:
+    """Sutherland–Hodgman clip of `subject` pts by CCW convex clip ring."""
+    pts = subject
+    n = len(cx)
+    for i in range(n):
+        if not pts:
+            return pts
+        ex1, ey1 = cx[i], cy[i]
+        ex2, ey2 = cx[(i + 1) % n], cy[(i + 1) % n]
+        nx, ny = ey1 - ey2, ex2 - ex1  # left (inward) normal for CCW
+        out = []
+        m = len(pts)
+        for k in range(m):
+            curx, cury = pts[k]
+            prevx, prevy = pts[k - 1]
+            dc = nx * (curx - ex1) + ny * (cury - ey1)
+            dp = nx * (prevx - ex1) + ny * (prevy - ey1)
+            if dc >= 0:
+                if dp < 0:
+                    t = dp / (dp - dc)
+                    out.append((prevx + t * (curx - prevx), prevy + t * (cury - prevy)))
+                out.append((curx, cury))
+            elif dp >= 0:
+                t = dp / (dp - dc)
+                out.append((prevx + t * (curx - prevx), prevy + t * (cury - prevy)))
+        pts = out
+    return pts
+
+
+def _tri_area2(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _fan_triangles(rings: list[np.ndarray], origin):
+    """Yield (sign, xs(3,), ys(3,)) fan triangles over all ring edges."""
+    ox, oy = origin
+    tris = []
+    for ring in rings:
+        x, y = ring[:, 0], ring[:, 1]
+        for i in range(len(ring) - 1):
+            a2 = _tri_area2(ox, oy, x[i], y[i], x[i + 1], y[i + 1])
+            if a2 == 0.0:
+                continue
+            tris.append((1.0 if a2 > 0 else -1.0,
+                         np.array([ox, x[i], x[i + 1]]),
+                         np.array([oy, y[i], y[i + 1]])))
+    return tris
+
+
+def polygon_intersection_area(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> float:
+    """Exact-to-float area of A ∩ B for simple polygons (holes supported)."""
+    if not rings_a or not rings_b:
+        return 0.0
+    alla, allb = np.vstack(rings_a), np.vstack(rings_b)
+    axmin, aymin = alla.min(axis=0)
+    axmax, aymax = alla.max(axis=0)
+    bxmin, bymin = allb.min(axis=0)
+    bxmax, bymax = allb.max(axis=0)
+    if axmax < bxmin or bxmax < axmin or aymax < bymin or bymax < aymin:
+        return 0.0
+    # translate to local frame first — with absolute coords ~1e6 the fan
+    # triangle cross-products lose ~10 digits to cancellation
+    ox = 0.5 * (max(axmin, bxmin) + min(axmax, bxmax))
+    oy = 0.5 * (max(aymin, bymin) + min(aymax, bymax))
+    shift = np.array([ox, oy])
+    rings_a = [r - shift for r in rings_a]
+    rings_b = [r - shift for r in rings_b]
+    tris_a = _fan_triangles(rings_a, (0.0, 0.0))
+    tris_b = _fan_triangles(rings_b, (0.0, 0.0))
+    total = 0.0
+    for sa, axs, ays in tris_a:
+        a_xmin, a_xmax = axs.min(), axs.max()
+        a_ymin, a_ymax = ays.min(), ays.max()
+        # orient clip triangle CCW
+        if _tri_area2(axs[0], ays[0], axs[1], ays[1], axs[2], ays[2]) < 0:
+            cxs, cys = axs[::-1], ays[::-1]
+        else:
+            cxs, cys = axs, ays
+        for sb, bxs, bys in tris_b:
+            if bxs.min() > a_xmax or bxs.max() < a_xmin or bys.min() > a_ymax or bys.max() < a_ymin:
+                continue
+            pts = _clip_convex(list(zip(bxs, bys)), cxs, cys)
+            if len(pts) < 3:
+                continue
+            area = 0.0
+            x0, y0 = pts[0]
+            for k in range(1, len(pts) - 1):
+                area += _tri_area2(x0, y0, pts[k][0], pts[k][1], pts[k + 1][0], pts[k + 1][1])
+            total += sa * sb * abs(0.5 * area)
+    return max(total, 0.0)
+
+
+def iou_wkt(wkt_a: str, wkt_b: str) -> float:
+    """IoU of two polygonal WKTs — solaris/eval/iou.py:33-38 semantics:
+    iou = inter / (area_a + area_b − inter)."""
+    ra, rb = polygon_rings(wkt_a), polygon_rings(wkt_b)
+    inter = polygon_intersection_area(ra, rb)
+    if inter == 0.0:
+        return 0.0
+    aa = polygon_area("POLYGON EMPTY") if not ra else abs(sum(ring_signed_area(r) for r in ra))
+    ab = 0.0 if not rb else abs(sum(ring_signed_area(r) for r in rb))
+    union = aa + ab - inter
+    return inter / union if union > 0 else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Grid generation — bit-exact split_geom (solaris/utils/geo.py:743-837)
+# ---------------------------------------------------------------------------
+
+def split_geom_bounds(bounds, tile_size, resolution=None,
+                      use_projection_units=False,
+                      geometry_rings: list[np.ndarray] | None = None) -> np.ndarray:
+    """Tile bounds [left,bottom,right,top] replicating split_geom exactly.
+
+    `bounds` is the (xmin, ymin, xmax, ymax) of the geometry (after any
+    src-image intersection).  np.arange float semantics are preserved so the
+    tile IDs match the reference byte-for-byte.  If geometry_rings is given,
+    tiles not touching the polygon (closed-set test, matching shapely's
+    non-empty intersection incl. boundary touch) are dropped.
+    """
+    if use_projection_units:
+        ts_y, ts_x = float(tile_size[0]), float(tile_size[1])
+    else:
+        if isinstance(resolution, (int, float)):
+            resolution = (resolution, resolution)
+        ts_y = tile_size[0] * resolution[0]
+        ts_x = tile_size[1] * resolution[1]
+    xmin, ymin, xmax, ymax = bounds
+    x_steps = np.ceil((xmax - xmin) / ts_x)
+    y_steps = np.ceil((ymax - ymin) / ts_y)
+    x_mins = np.arange(xmin, xmin + ts_x * x_steps, ts_x)
+    y_mins = np.arange(ymin, ymin + ts_y * y_steps, ts_y)
+    out = []
+    for i in x_mins:
+        for j in y_mins:
+            rect = (i, j, i + ts_x, j + ts_y)
+            if geometry_rings is None:
+                keep = not (rect[0] > xmax or rect[2] < xmin or rect[1] > ymax or rect[3] < ymin)
+            else:
+                keep = rect_intersects_polygon(rect, geometry_rings)
+            if keep:
+                out.append(rect)
+    return np.asarray(out, dtype=np.float64).reshape(-1, 4)
+
+
+# ---------------------------------------------------------------------------
+# Douglas–Peucker (solaris/vector/mask.py:804-807, tolerance 0.5)
+# ---------------------------------------------------------------------------
+
+def simplify_dp(coords: np.ndarray, tol: float) -> np.ndarray:
+    closed = np.array_equal(coords[0], coords[-1])
+    pts = coords
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        s, e = stack.pop()
+        if e <= s + 1:
+            continue
+        seg = pts[e] - pts[s]
+        L = math.hypot(seg[0], seg[1])
+        mid = pts[s + 1 : e]
+        if L == 0.0:
+            d = np.sqrt(((mid - pts[s]) ** 2).sum(axis=1))
+        else:
+            d = np.abs(np.cross(seg, mid - pts[s])) / L
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            k = s + 1 + imax
+            keep[k] = True
+            stack.append((s, k))
+            stack.append((k, e))
+    out = pts[keep]
+    if closed and len(out) < 4:
+        return coords  # degenerate — keep original
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Buffer — Minkowski sum with a discretized disc, GEOS-style round joins
+# (quad_segs=8).  Only the *rasterization* of the result must match the
+# reference (solaris/vector/mask.py:567-666 buffer_df_geoms), so the
+# indicator-function formulation is used downstream: a point is inside
+# buffer(P, r) iff dist(point, P) <= r (exact), which rasterizes without
+# constructing offset geometry at all.
+# ---------------------------------------------------------------------------
+
+def dist_point_to_segments(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Min distance from each point to any segment of `ring`. Vectorized."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    dx, dy = x2 - x1, y2 - y1
+    seg_len2 = dx * dx + dy * dy
+    seg_len2 = np.where(seg_len2 == 0.0, 1.0, seg_len2)
+    # (P, S) broadcasting
+    tx = (px[:, None] - x1[None, :]) * dx[None, :] + (py[:, None] - y1[None, :]) * dy[None, :]
+    t = np.clip(tx / seg_len2[None, :], 0.0, 1.0)
+    cx = x1[None, :] + t * dx[None, :]
+    cy = y1[None, :] + t * dy[None, :]
+    d2 = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
+    return np.sqrt(d2.min(axis=1))
+
+
+def points_in_buffered_polygon(px: np.ndarray, py: np.ndarray,
+                               rings: list[np.ndarray], radius: float) -> np.ndarray:
+    """Indicator of buffer(polygon, radius) — exact Euclidean, not chord-
+    approximated; equals the r→∞ quad_segs limit of GEOS buffer and agrees
+    with GEOS at every pixel center not within the chord sagitta (~r·0.2% at
+    quad_segs=8) of the arc."""
+    if radius < 0:
+        inside = points_in_polygon(px, py, rings)
+        d = np.full(px.shape, np.inf)
+        for r in rings:
+            d = np.minimum(d, dist_point_to_segments(px, py, r))
+        return inside & (d >= -radius)
+    inside = points_in_polygon(px, py, rings)
+    todo = ~inside
+    if todo.any():
+        d = np.full(int(todo.sum()), np.inf)
+        for r in rings:
+            d = np.minimum(d, dist_point_to_segments(px[todo], py[todo], r))
+        near = d <= radius
+        inside = inside.copy()
+        inside[np.where(todo)[0][near]] = True
+    return inside
+
+
+def points_in_buffered_line(px: np.ndarray, py: np.ndarray,
+                            coords: np.ndarray, radius: float) -> np.ndarray:
+    d = dist_point_to_segments(px, py, coords)
+    return d <= radius
+
+
+def offset_curve(ring: np.ndarray, radius: float, quad_segs: int = 16) -> np.ndarray:
+    """Raw GEOS/JTS-style offset curve of a ring, radius > 0, round joins.
+
+    Replicates OffsetSegmentGenerator vertex placement: each edge offset
+    outward by `radius`; convex vertices filled with arc points spaced
+    delta = totalAngle / round(totalAngle/(pi/2/quad_segs)); reflex vertices
+    just connect the two offset endpoints (the raw curve self-intersects
+    there — fill with NONZERO winding, which equals the topological union
+    GEOS computes).  Matches shapely 1.7 .buffer(r, resolution=16) boundary
+    lines exactly (same vertices ⇒ same scanline intersections ⇒ pixel-exact
+    rasterization parity incl. GDAL boundary tie rules)."""
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    n = len(pts)
+    s = 1.0 if ring_signed_area(ring) > 0 else -1.0
+    quantum = math.pi / 2.0 / quad_segs
+    dxs = np.roll(pts[:, 0], -1) - pts[:, 0]
+    dys = np.roll(pts[:, 1], -1) - pts[:, 1]
+    lens = np.sqrt(dxs ** 2 + dys ** 2)
+    out = []
+    for i in range(n):
+        j = (i - 1) % n
+        if lens[j] == 0 or lens[i] == 0:
+            continue
+        # outward unit normals of incoming (j) and outgoing (i) edges
+        if s > 0:
+            n1 = (dys[j] / lens[j], -dxs[j] / lens[j])
+            n2 = (dys[i] / lens[i], -dxs[i] / lens[i])
+        else:
+            n1 = (-dys[j] / lens[j], dxs[j] / lens[j])
+            n2 = (-dys[i] / lens[i], dxs[i] / lens[i])
+        vx, vy = pts[i, 0], pts[i, 1]
+        p1 = (vx + radius * n1[0], vy + radius * n1[1])  # end of offset edge j
+        p2 = (vx + radius * n2[0], vy + radius * n2[1])  # start of offset edge i
+        cross = dxs[j] * dys[i] - dys[j] * dxs[i]
+        out.append(p1)
+        if s * cross > 0.0:  # convex: insert fillet arc
+            th1 = math.atan2(n1[1], n1[0])
+            th2 = math.atan2(n2[1], n2[0])
+            total = (s * (th2 - th1)) % (2 * math.pi)
+            if 0.0 < total < math.pi:
+                nsegs = int(total / quantum + 0.5)
+                if nsegs >= 1:
+                    delta = total / nsegs
+                    ang = delta
+                    while ang < total - 1e-12:
+                        th = th1 + s * ang
+                        out.append((vx + radius * math.cos(th),
+                                    vy + radius * math.sin(th)))
+                        ang += delta
+        out.append(p2)
+    out.append(out[0])
+    return np.asarray(out, dtype=np.float64)
+
+
+def points_in_geos_buffer(px: np.ndarray, py: np.ndarray,
+                          rings: list[np.ndarray], radius: float,
+                          quad_segs: int = 8) -> np.ndarray:
+    """Indicator of GEOS buffer(polygon, radius) with round joins.
+
+    GEOS/JTS (OffsetSegmentGenerator) approximates the circular fillet at
+    each convex vertex by chords between points spaced
+    delta = totalAngle / round(totalAngle / (pi/2/quad_segs)) apart, so the
+    buffer polygon lies slightly *inside* the true disc sum (sagitta
+    r·(1−cos(delta/2))).  This evaluates that chord polygon pointwise:
+    p is inside iff p is inside the polygon, within r of an edge with
+    perpendicular foot on the edge, or inside a vertex fillet chord fan.
+    Replicates shapely .buffer(r) (default quad_segs=8) as used at
+    solaris/vector/mask.py:567-666 well enough for pixel-center parity.
+    """
+    if radius <= 0:
+        return points_in_buffered_polygon(px, py, rings, radius)
+    quantum = math.pi / 2.0 / quad_segs
+    inside = points_in_polygon(px, py, rings)
+    for ring in rings:
+        pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+        n = len(pts)
+        if n < 3:
+            continue
+        s = 1.0 if ring_signed_area(ring) > 0 else -1.0
+        dxs = np.roll(pts[:, 0], -1) - pts[:, 0]
+        dys = np.roll(pts[:, 1], -1) - pts[:, 1]
+        # edge rectangles
+        for i in range(n):
+            dx, dy = dxs[i], dys[i]
+            L2 = dx * dx + dy * dy
+            if L2 == 0.0:
+                continue
+            rx = px - pts[i, 0]
+            ry = py - pts[i, 1]
+            t = (rx * dx + ry * dy) / L2
+            perp = np.abs(rx * dy - ry * dx) / math.sqrt(L2)
+            inside |= (t >= 0.0) & (t <= 1.0) & (perp <= radius)
+        # vertex fillets (convex turns only)
+        for i in range(n):
+            j = (i - 1) % n
+            d1x, d1y = dxs[j], dys[j]   # incoming direction
+            d2x, d2y = dxs[i], dys[i]   # outgoing direction
+            cross = d1x * d2y - d1y * d2x
+            if s * cross <= 0.0:        # reflex or straight: covered by edges
+                continue
+            # outward normal angles
+            if s > 0:
+                th1 = math.atan2(-d1x, d1y)
+                th2 = math.atan2(-d2x, d2y)
+            else:
+                th1 = math.atan2(d1x, -d1y)
+                th2 = math.atan2(d2x, -d2y)
+            total = s * (th2 - th1)
+            total = total % (2 * math.pi)
+            if total <= 0.0 or total >= math.pi:
+                continue
+            nsegs = int(total / quantum + 0.5)
+            delta = total / nsegs if nsegs >= 1 else total
+            rx = px - pts[i, 0]
+            ry = py - pts[i, 1]
+            d = np.sqrt(rx * rx + ry * ry)
+            cand = d <= radius
+            if not cand.any():
+                continue
+            phi = np.arctan2(ry[cand], rx[cand])
+            alpha = (s * (phi - th1)) % (2 * math.pi)
+            in_wedge = alpha <= total
+            k = np.clip(np.floor(alpha / delta), 0, max(nsegs - 1, 0))
+            rho = radius * math.cos(delta / 2.0) / np.cos(alpha - (k + 0.5) * delta)
+            ok = in_wedge & (d[cand] <= rho)
+            idx = np.where(cand)[0][ok]
+            inside[idx] = True
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# WGS84 ↔ UTM — transverse Mercator, Krüger series (public formulas; see
+# Karney 2011, "Transverse Mercator with an accuracy of a few nanometers").
+# Only CRS pair the reference fixtures use (solaris/utils/geo.py:597-696).
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+
+
+def _tm_consts():
+    f = _WGS84_F
+    n = f / (2 - f)
+    A = _WGS84_A / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64 + n ** 6 / 256)
+    alpha = [
+        n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16 + 41 * n ** 4 / 180,
+        13 * n ** 2 / 48 - 3 * n ** 3 / 5 + 557 * n ** 4 / 1440,
+        61 * n ** 3 / 240 - 103 * n ** 4 / 140,
+        49561 * n ** 4 / 161280,
+    ]
+    beta = [
+        n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96 - n ** 4 / 360,
+        n ** 2 / 48 + n ** 3 / 15 - 437 * n ** 4 / 1440,
+        17 * n ** 3 / 480 - 37 * n ** 4 / 840,
+        4397 * n ** 4 / 161280,
+    ]
+    delta = [
+        2 * n - 2 * n ** 2 / 3 - 2 * n ** 3 + 116 * n ** 4 / 45,
+        7 * n ** 2 / 3 - 8 * n ** 3 / 5 - 227 * n ** 4 / 45,
+        56 * n ** 3 / 15 - 136 * n ** 4 / 35,
+        4279 * n ** 4 / 630,
+    ]
+    return n, A, alpha, beta, delta
+
+
+_TM_N, _TM_A, _TM_ALPHA, _TM_BETA, _TM_DELTA = _tm_consts()
+
+
+def utm_zone_epsg(lon: float, lat: float) -> int:
+    """EPSG for UTM zone containing (lon, lat) — solaris/utils/geo.py:643-696."""
+    zone = int((lon + 180) // 6) + 1
+    zone = min(max(zone, 1), 60)
+    return (32600 if lat >= 0 else 32700) + zone
+
+
+def wgs84_to_utm(lon, lat, epsg: int):
+    """Forward transverse Mercator. lon/lat arrays in degrees → (easting, northing)."""
+    zone = epsg % 100
+    south = 32700 <= epsg < 32800
+    lon0 = math.radians(zone * 6 - 183)
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - lon0
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    f = _WGS84_F
+    e = math.sqrt(f * (2 - f))
+    t = np.sinh(np.arctanh(np.sin(phi)) - e * np.arctanh(e * np.sin(phi)))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(_TM_ALPHA, start=1):
+        xi = xi + a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    E = _UTM_FE + _UTM_K0 * _TM_A * eta
+    N = _UTM_K0 * _TM_A * xi + (10000000.0 if south else 0.0)
+    return E, N
+
+
+def utm_to_wgs84(easting, northing, epsg: int):
+    zone = epsg % 100
+    south = 32700 <= epsg < 32800
+    lon0 = math.radians(zone * 6 - 183)
+    x = np.asarray(easting, dtype=np.float64) - _UTM_FE
+    y = np.asarray(northing, dtype=np.float64) - (10000000.0 if south else 0.0)
+    xi = y / (_UTM_K0 * _TM_A)
+    eta = x / (_UTM_K0 * _TM_A)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_TM_BETA, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi.copy()
+    for j, d in enumerate(_TM_DELTA, start=1):
+        phi = phi + d * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lam + lon0), np.degrees(phi)
+
+
+def reproject_wkt(wkt: str, src_epsg: int, dst_epsg: int) -> str:
+    """Reproject polygon/linestring WKT between 4326 and UTM zones."""
+    if src_epsg == dst_epsg:
+        return wkt
+    gtype, parts = wkt_parse(wkt)
+    if not parts:
+        return wkt
+
+    def conv(arr: np.ndarray) -> np.ndarray:
+        if src_epsg == 4326:
+            E, N = wgs84_to_utm(arr[:, 0], arr[:, 1], dst_epsg)
+            return np.stack([E, N], axis=1)
+        if dst_epsg == 4326:
+            lon, lat = utm_to_wgs84(arr[:, 0], arr[:, 1], src_epsg)
+            return np.stack([lon, lat], axis=1)
+        lon, lat = utm_to_wgs84(arr[:, 0], arr[:, 1], src_epsg)
+        E, N = wgs84_to_utm(lon, lat, dst_epsg)
+        return np.stack([E, N], axis=1)
+
+    if gtype == "MULTIPOLYGON":
+        new = [[conv(r) for r in poly] for poly in parts]
+    else:
+        new = [conv(r) for r in parts]
+    return wkt_dump(gtype, new)
+
+
+def projection_unit(epsg: int) -> str:
+    """'metre' for UTM-class projected CRS, 'degree' for geographic —
+    solaris/utils/geo.py:326-388 (drives tile-ID rounding)."""
+    if epsg == 4326 or 4000 <= epsg < 5000:
+        return "degree"
+    return "metre"

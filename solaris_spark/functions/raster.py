@@ -1,0 +1,344 @@
+"""Pure-NumPy raster kernels: polygon rasterization (GDAL-compatible),
+morphology, tile cutting, PSNR, perceptual hash.
+
+Parity targets in the reference:
+- rasterize          → rasterio.features.rasterize as used by
+                       solaris/vector/mask.py:222-224 (footprint), GDAL
+                       scanline fill, pixel-center rule, even-odd parity
+- boundary morphology→ skimage erosion/dilation with square strel,
+                       solaris/vector/mask.py:300-310
+- tile window read   → rasterio window + boundless pad,
+                       solaris/tile/raster_tile.py:332-348
+- nodata fraction    → solaris/tile/raster_tile.py:189-204
+- phash / PSNR       → not in reference; required by BASELINE.json input_hint
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geom as G
+
+# ---------------------------------------------------------------------------
+# Rasterization — GDAL GDALdllImageFilledPolygon semantics:
+#   scanline at dy = row + 0.5; edge contributes iff dy1 <= dy < dy2
+#   (half-open after orienting dy1 < dy2); intersections sorted and paired
+#   (even-odd); pair [xs, xe] burns columns floor(xs+0.5) .. floor(xe+0.5)-1.
+# ---------------------------------------------------------------------------
+
+
+def rasterize_rings(rings: list[np.ndarray], shape: tuple[int, int],
+                    out: np.ndarray | None = None, value: int = 1,
+                    winding: bool = False) -> np.ndarray:
+    """Fill one polygon (exterior + hole rings, even-odd) into a (H, W) array.
+
+    Coordinates are in pixel space (col = x, row = y), matching
+    features.rasterize with the identity transform used at
+    solaris/vector/mask.py:204 for pixel-coordinate dataframes.
+    """
+    h, w = shape
+    if out is None:
+        out = np.zeros((h, w), dtype=np.uint8)
+    if not rings:
+        return out
+
+    # gather all edges from all rings
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for ring in rings:
+        if len(ring) < 2:
+            continue
+        x1s.append(ring[:-1, 0]); y1s.append(ring[:-1, 1])
+        x2s.append(ring[1:, 0]); y2s.append(ring[1:, 1])
+    if not x1s:
+        return out
+    ex1 = np.concatenate(x1s); ey1 = np.concatenate(y1s)
+    ex2 = np.concatenate(x2s); ey2 = np.concatenate(y2s)
+    # orient so ey1 < ey2
+    flip = ey1 > ey2
+    ex1f = np.where(flip, ex2, ex1); ey1f = np.where(flip, ey2, ey1)
+    ex2f = np.where(flip, ex1, ex2); ey2f = np.where(flip, ey1, ey2)
+    nonh = ey1f != ey2f
+    ex1f, ey1f, ex2f, ey2f = ex1f[nonh], ey1f[nonh], ex2f[nonh], ey2f[nonh]
+    if len(ex1f) == 0:
+        return out
+
+    ymin = max(int(np.floor(ey1f.min() - 0.5)), 0)
+    ymax = min(int(np.ceil(ey2f.max() + 0.5)), h - 1)
+    if ymax < ymin:
+        return out
+
+    slope = (ex2f - ex1f) / (ey2f - ey1f)
+    # crossing direction for nonzero-winding fill (+1 edge pointed down in
+    # pixel space pre-flip, -1 otherwise)
+    esign = np.where(flip[nonh], -1, 1).astype(np.int64)
+    diff = np.zeros(w + 1, dtype=np.int64)
+    for row in range(ymin, ymax + 1):
+        dy = row + 0.5
+        sel = (dy >= ey1f) & (dy < ey2f)
+        if not sel.any():
+            continue
+        xs = ex1f[sel] + (dy - ey1f[sel]) * slope[sel]
+        if winding:
+            order = np.argsort(xs, kind="stable")
+            xs_s = xs[order]
+            run = np.cumsum(esign[sel][order])
+            covered = run != 0
+            # maximal covered intervals [xs_s[k], xs_s[k+1]) where run[k] != 0
+            starts = np.floor(xs_s[:-1][covered[:-1]] + 0.5).astype(np.int64)
+            ends = np.floor(xs_s[1:][covered[:-1]] + 0.5).astype(np.int64)
+        else:
+            xs.sort()
+            starts = np.floor(xs[0::2] + 0.5).astype(np.int64)
+            ends = np.floor(xs[1::2] + 0.5).astype(np.int64)
+        keep = (ends > starts) & (starts < w) & (ends > 0)
+        if not keep.any():
+            continue
+        starts = np.clip(starts[keep], 0, w)
+        ends = np.clip(ends[keep], 0, w)
+        diff[:] = 0
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, ends, -1)
+        cov = np.cumsum(diff[:w]) > 0
+        out[row, cov] = value
+    return out
+
+
+def rasterize_shapes(shapes, shape: tuple[int, int],
+                     transform=None, dtype=np.uint8) -> np.ndarray:
+    """features.rasterize equivalent: list of (rings, burn_value) burned in
+    order (REPLACE merge).  `transform` is the geo affine (a,b,c,d,e,f) of the
+    raster; geometry coords are converted to pixel space with its inverse."""
+    h, w = shape
+    out = np.zeros((h, w), dtype=dtype)
+    inv = None
+    if transform is not None and tuple(transform) != (1.0, 0.0, 0.0, 0.0, 1.0, 0.0):
+        inv = G.affine_invert(transform)
+    for rings, val in shapes:
+        if inv is not None:
+            rings = [G.affine_apply(r, inv) for r in rings]
+        m = rasterize_rings(rings, (h, w), value=1)
+        out[m > 0] = val
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Buffered-polygon indicator rasterization (contact/road masks).
+# Rasterizing buffer(P, r) never materializes offset geometry: a pixel center
+# is inside the buffer iff dist(center, P) <= r (exact Euclidean disc — the
+# quad_segs→∞ limit of GEOS buffer; see geom.points_in_buffered_polygon).
+# ---------------------------------------------------------------------------
+
+
+def rasterize_geos_buffer(rings: list[np.ndarray], radius: float,
+                          shape: tuple[int, int]) -> np.ndarray:
+    """Rasterize buffer(polygon, radius) pixel-exactly vs the reference's
+    shapely-buffer → GDAL-rasterize path: build the GEOS-style offset curve
+    (geom.offset_curve) and scanline-fill it with NONZERO winding and the
+    GDAL boundary tie rules.  Boundary lines coincide with the GEOS buffer
+    polygon's, so ties resolve identically."""
+    curves = [G.offset_curve(r, radius) for r in rings if len(r) >= 4]
+    m = rasterize_rings(curves, shape, winding=True)
+    return m > 0
+
+
+def rasterize_buffered(rings_or_line, radius: float, shape: tuple[int, int],
+                       is_line: bool = False, geos_chords: bool = True) -> np.ndarray:
+    """Boolean (H, W) indicator of buffer(geom, radius) at pixel centers.
+
+    Evaluates only pixels within the padded bbox for efficiency."""
+    h, w = shape
+    out = np.zeros((h, w), dtype=bool)
+    arrs = [rings_or_line] if is_line else rings_or_line
+    if not arrs:
+        return out
+    allc = np.vstack(arrs)
+    pad = abs(radius) + 1.0
+    c0 = max(int(np.floor(allc[:, 0].min() - pad)), 0)
+    c1 = min(int(np.ceil(allc[:, 0].max() + pad)), w - 1)
+    r0 = max(int(np.floor(allc[:, 1].min() - pad)), 0)
+    r1 = min(int(np.ceil(allc[:, 1].max() + pad)), h - 1)
+    if c1 < c0 or r1 < r0:
+        return out
+    cols = np.arange(c0, c1 + 1)
+    rows = np.arange(r0, r1 + 1)
+    cx, cy = np.meshgrid(cols + 0.5, rows + 0.5)
+    px, py = cx.ravel(), cy.ravel()
+    if is_line:
+        inside = G.points_in_buffered_line(px, py, rings_or_line, radius)
+    elif geos_chords:
+        inside = G.points_in_geos_buffer(px, py, rings_or_line, radius)
+    else:
+        inside = G.points_in_buffered_polygon(px, py, rings_or_line, radius)
+    out[r0 : r1 + 1, c0 : c1 + 1] = inside.reshape(len(rows), len(cols))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Morphology — skimage erosion/dilation with square(n) strel
+# (solaris/vector/mask.py:300-310). skimage delegates to scipy.ndimage with
+# origin=0; for even n the window is asymmetric, and dilation mirrors the
+# footprint, so erosion and dilation offset in opposite directions.
+# ---------------------------------------------------------------------------
+
+
+def _sliding_minmax_1d(a: np.ndarray, lo: int, hi: int, axis: int, is_min: bool) -> np.ndarray:
+    """min/max over window [i+lo, i+hi] along axis, edge-padded like ndimage
+    (reflect? no — grey erosion pads with +inf/-inf outside, i.e. ignores)."""
+    n = a.shape[axis]
+    out = None
+    for off in range(lo, hi + 1):
+        shifted = np.full_like(a, 255 if is_min else 0)
+        src = [slice(None)] * a.ndim
+        dst = [slice(None)] * a.ndim
+        if off >= 0:
+            src[axis] = slice(off, n)
+            dst[axis] = slice(0, n - off)
+        else:
+            src[axis] = slice(0, n + off)
+            dst[axis] = slice(-off, n)
+        shifted[tuple(dst)] = a[tuple(src)]
+        if out is None:
+            out = shifted
+        else:
+            out = np.minimum(out, shifted) if is_min else np.maximum(out, shifted)
+    return out
+
+
+def erosion_square(a: np.ndarray, size: int) -> np.ndarray:
+    """skimage.morphology.erosion(a, square(size)) for uint8 arrays.
+
+    scipy grey_erosion window for origin=0: offsets -(size//2) .. (size-1)//2.
+    Out-of-image treated as padded with the edge? ndimage grey_erosion uses
+    reflect mode by default; calibrated against the reference goldens."""
+    lo, hi = -(size // 2), (size - 1) // 2
+    tmp = _minmax_reflect(a, lo, hi, 0, True)
+    return _minmax_reflect(tmp, lo, hi, 1, True)
+
+
+def dilation_square(a: np.ndarray, size: int) -> np.ndarray:
+    """skimage dilation: window offsets -(size//2) .. (size-1)//2 mirrored →
+    calibrated against sample_b_mask_outer_10.tif: offsets -((size-1)//2) .. size//2."""
+    lo, hi = -((size - 1) // 2), size // 2
+    tmp = _minmax_reflect(a, lo, hi, 0, False)
+    return _minmax_reflect(tmp, lo, hi, 1, False)
+
+
+def _minmax_reflect(a: np.ndarray, lo: int, hi: int, axis: int, is_min: bool) -> np.ndarray:
+    """Sliding min/max with 'reflect' boundary (scipy ndimage default)."""
+    pad_before, pad_after = max(0, -lo), max(0, hi)
+    pads = [(0, 0)] * a.ndim
+    pads[axis] = (pad_before, pad_after)
+    # scipy.ndimage's default 'reflect' boundary == numpy's 'symmetric'
+    # (edge value repeated): (d c b a | a b c d)
+    ap = np.pad(a, pads, mode="symmetric")
+    n = a.shape[axis]
+    out = None
+    for off in range(lo, hi + 1):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(pad_before + off, pad_before + off + n)
+        view = ap[tuple(idx)]
+        if out is None:
+            out = view.copy()
+        else:
+            out = np.minimum(out, view) if is_min else np.maximum(out, view)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tile cutting — window read with boundless fill
+# (solaris/tile/raster_tile.py:332-348)
+# ---------------------------------------------------------------------------
+
+
+def cut_window(src: np.ndarray, transform, bounds, tile_hw: tuple[int, int],
+               fill_value: float = 0) -> tuple[np.ndarray, tuple]:
+    """Cut tile `bounds` = (xmin, ymin, xmax, ymax) from (C, Y, X) `src` with
+    geo `transform`; out-of-extent area filled with `fill_value`.
+
+    Returns (tile (C, th, tw), tile_transform). Row/col window is derived the
+    way rasterio from_bounds does: col = (x - c)/a, row = (y - f)/e, rounded
+    to int (operator precision: the fixtures use exact multiples)."""
+    a, b, c0, d, e, f0 = transform
+    th, tw = tile_hw
+    xmin, ymin, xmax, ymax = bounds
+    col0 = int(round((xmin - c0) / a))
+    row0 = int(round((ymax - f0) / e))  # e < 0 for north-up
+    C, H, W = src.shape
+    tile = np.full((C, th, tw), fill_value, dtype=src.dtype)
+    r0, r1 = max(row0, 0), min(row0 + th, H)
+    c0_, c1 = max(col0, 0), min(col0 + tw, W)
+    if r1 > r0 and c1 > c0_:
+        tile[:, r0 - row0 : r1 - row0, c0_ - col0 : c1 - col0] = src[:, r0:r1, c0_:c1]
+    tile_transform = (a, b, c0 + col0 * a, d, e, f0 + row0 * e)
+    return tile, tile_transform
+
+
+def nodata_fraction(tile: np.ndarray, nodata) -> float:
+    """Fraction of pixels where ALL bands equal nodata —
+    solaris/tile/raster_tile.py:195-196."""
+    if nodata is None:
+        return 0.0
+    allnod = np.all(tile == nodata, axis=0)
+    return float(allnod.mean())
+
+
+# ---------------------------------------------------------------------------
+# Image quality / identity kernels (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+
+def psnr(a: np.ndarray, b: np.ndarray, max_val: float | None = None) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = float(((a - b) ** 2).mean())
+    if mse == 0.0:
+        return float("inf")
+    if max_val is None:
+        max_val = 255.0 if a.max() <= 255 else 65535.0
+    return 10.0 * np.log10(max_val * max_val / mse)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash: resize to 32×32 (area mean), 2D DCT-II, take
+    the top-left 8×8 (skipping DC), threshold at the median. Deterministic;
+    matches the classic pHash construction (public algorithm)."""
+    if img.ndim == 3:  # (C, Y, X) → luminance-ish mean
+        img = img.mean(axis=0)
+    h, w = img.shape
+    # area-mean resize to 32x32 via block averaging on a resampled grid
+    ys = (np.arange(32 + 1) * h / 32).astype(np.int64)
+    xs = (np.arange(32 + 1) * w / 32).astype(np.int64)
+    ys[-1], xs[-1] = h, w
+    small = np.empty((32, 32), dtype=np.float64)
+    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+    csum[1:, 1:] = img.astype(np.float64).cumsum(0).cumsum(1)
+    for r in range(32):
+        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        for c in range(32):
+            x0, x1 = xs[c], max(xs[c + 1], xs[c] + 1)
+            s = csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
+            small[r, c] = s / ((y1 - y0) * (x1 - x0))
+    dct = _DCT32 @ small @ _DCT32.T
+    block = dct[:8, :8].copy()
+    vals = block.flatten()[1:]  # skip DC
+    med = np.median(vals)
+    bits = (vals > med).astype(np.uint64)
+    out = np.uint64(0)
+    for bit in bits:
+        out = np.uint64(out << np.uint64(1)) | np.uint64(bit)
+    return int(out.astype(np.int64))  # store as signed int64 column
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
