@@ -1,0 +1,298 @@
+"""Raster + vector tiling as Spark DataFrame operators.
+
+Re-expresses (Spark-first, not a port):
+- RasterTiler.tile        → solaris/tile/raster_tile.py:152-219 + 221-416
+- VectorTiler.tile        → solaris/tile/vector_tile.py:39-195, clip_gdf :227-324
+- tile grid               → solaris/utils/geo.py:743-837 (split_geom) —
+                            np.arange float semantics preserved for exact
+                            tile-ID parity with rastertile_test_expected/
+- tile naming             → raster_tile.py:418-454 ({base}_{int(xmin)}_{int(ymax)}
+                            for metric CRS, 3-dp rounding otherwise)
+
+Scale design: tiling is embarrassingly parallel per image — the grid is
+derived *inside* the UDF from the georegistration row (no grid shuffle, no
+driver materialization).  The only shuffles in the whole pipeline are the
+label⋈tile candidate equi-join (on (image_id, tx, ty) — prunable, salted for
+hot images via joins.py helpers) and whatever aggregation the caller adds.
+Pixels ride through Arrow batches capped small (session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+from ..functions import geom as G
+from ..functions import raster as R
+
+_DTYPES = {"raw-u8-c3": (np.uint8, 3), "raw-u16-c1": (np.uint16, 1),
+           "raw-u8-c1": (np.uint8, 1)}
+
+
+def decode_image(fmt: str, buf: bytes, w: int, h: int) -> np.ndarray:
+    """Decode the binary payload to (C, Y, X). Raw formats are supported in
+    this sandbox; PNG/JPEG would slot in here (import-gated) — the Spark-side
+    plumbing (schema, batching) is format-agnostic."""
+    if fmt in _DTYPES:
+        dt, c = _DTYPES[fmt]
+        return np.frombuffer(buf, dtype=dt).reshape(c, h, w)
+    raise NotImplementedError(f"decoder for fmt={fmt} not available in sandbox")
+
+
+TILE_SCHEMA = T.StructType([
+    T.StructField("tile_id", T.StringType(), False),
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("tx", T.IntegerType(), False),   # tile col index in grid
+    T.StructField("ty", T.IntegerType(), False),   # tile row index in grid
+    T.StructField("xmin", T.DoubleType(), False),
+    T.StructField("ymin", T.DoubleType(), False),
+    T.StructField("xmax", T.DoubleType(), False),
+    T.StructField("ymax", T.DoubleType(), False),
+    T.StructField("pixels", T.BinaryType(), True),
+    T.StructField("th", T.IntegerType(), False),
+    T.StructField("tw", T.IntegerType(), False),
+    T.StructField("nchan", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("a", T.DoubleType(), False),
+    T.StructField("e", T.DoubleType(), False),
+    T.StructField("nodata_frac", T.DoubleType(), True),
+])
+
+GRID_SCHEMA = T.StructType([
+    T.StructField("tile_id", T.StringType(), False),
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("tx", T.IntegerType(), False),
+    T.StructField("ty", T.IntegerType(), False),
+    T.StructField("xmin", T.DoubleType(), False),
+    T.StructField("ymin", T.DoubleType(), False),
+    T.StructField("xmax", T.DoubleType(), False),
+    T.StructField("ymax", T.DoubleType(), False),
+])
+
+
+def tile_name(base: str, xmin: float, ymax: float, metric: bool = True) -> str:
+    """raster_tile.py:425-434: int coords for metric CRS, else 3-dp round."""
+    if metric:
+        return f"{base}_{int(xmin)}_{int(ymax)}"
+    return f"{base}_{np.round(xmin, 3)}_{np.round(ymax, 3)}"
+
+
+def _grid_for_image(a, e, c, f, w, h, tile_yx):
+    """Exact split_geom grid for one image's bounds (np.arange semantics)."""
+    xmin, ymax = c, f
+    xmax = c + w * a
+    ymin = f + h * e  # e < 0
+    return G.split_geom_bounds((xmin, ymin, xmax, ymax), tile_yx,
+                               resolution=(a, -e))
+
+
+def with_geo(images: DataFrame, geo: DataFrame) -> DataFrame:
+    """images ⋈ georegistration sidecar. The sidecar is thin (8 doubles/row);
+    co-partitioned equi-join on image_id — broadcast when small."""
+    return images.join(geo, "image_id")
+
+
+def tile_grid(images_geo: DataFrame, tile_size: tuple[int, int]) -> DataFrame:
+    """Grid-only DataFrame (no pixels) — cheap planning/join input."""
+    ty_px, tx_px = tile_size
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                tb = _grid_for_image(row.a, row.e, row.c, row.f,
+                                     row.w, row.h, (ty_px, tx_px))
+                xm = np.sort(np.unique(tb[:, 0]))
+                ymx = np.sort(np.unique(tb[:, 3]))
+                xi = {v: i for i, v in enumerate(xm)}
+                yi = {v: i for i, v in enumerate(ymx)}
+                for t in tb:
+                    out.append(dict(
+                        tile_id=tile_name(row.image_id, t[0], t[3]),
+                        image_id=row.image_id,
+                        tx=xi[t[0]], ty=yi[t[3]],
+                        xmin=t[0], ymin=t[1], xmax=t[2], ymax=t[3]))
+            yield pd.DataFrame(out, columns=[f.name for f in GRID_SCHEMA.fields])
+
+    return images_geo.select("image_id", "w", "h", "a", "e", "c", "f") \
+        .mapInPandas(gen, schema=GRID_SCHEMA)
+
+
+def raster_tiles(images_geo: DataFrame, tile_size: tuple[int, int],
+                 nodata_threshold: float | None = None) -> DataFrame:
+    """Cut every image into fixed-size tiles (grid derived in-UDF; zero
+    shuffle).  Mirrors RasterTiler.tile incl. boundless window fill with
+    nodata (raster_tile.py:332-348) and the nodata-fraction tile filter
+    (:189-204)."""
+    ty_px, tx_px = tile_size
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = decode_image(row.fmt, row.bytes, row.w, row.h)
+                transform = (row.a, row.b, row.c, row.d, row.e, row.f)
+                tb = _grid_for_image(row.a, row.e, row.c, row.f,
+                                     row.w, row.h, (ty_px, tx_px))
+                xm = np.sort(np.unique(tb[:, 0]))
+                ymx = np.sort(np.unique(tb[:, 3]))
+                xi = {v: i for i, v in enumerate(xm)}
+                yi = {v: i for i, v in enumerate(ymx)}
+                nod = row.nodata if row.nodata is not None and not pd.isna(row.nodata) else 0
+                for t in tb:
+                    tile, tt = R.cut_window(arr, transform, tuple(t),
+                                            (ty_px, tx_px), fill_value=nod)
+                    nf = R.nodata_fraction(tile, nod)
+                    if nodata_threshold is not None and nf >= nodata_threshold:
+                        continue
+                    out.append(dict(
+                        tile_id=tile_name(row.image_id, tt[2], tt[5]),
+                        image_id=row.image_id,
+                        tx=xi[t[0]], ty=yi[t[3]],
+                        xmin=t[0], ymin=t[1], xmax=t[2], ymax=t[3],
+                        pixels=tile.tobytes(),
+                        th=ty_px, tw=tx_px, nchan=arr.shape[0],
+                        fmt=row.fmt, a=row.a, e=row.e, nodata_frac=nf))
+            yield pd.DataFrame(out, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    cols = ["image_id", "bytes", "w", "h", "fmt",
+            "a", "b", "c", "d", "e", "f", "nodata"]
+    return images_geo.select(*cols).mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+LABEL_TILE_SCHEMA = T.StructType([
+    T.StructField("tile_id", T.StringType(), False),
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("label_id", T.IntegerType(), False),
+    T.StructField("wkt_geo", T.StringType(), True),     # clipped, CRS coords
+    T.StructField("wkt_tile_pix", T.StringType(), True),  # clipped, tile-local px
+    T.StructField("origarea", T.DoubleType(), True),
+    T.StructField("clip_area", T.DoubleType(), True),
+    T.StructField("partialDec", T.DoubleType(), True),
+    T.StructField("truncated", T.IntegerType(), False),
+])
+
+
+def labels_geo(labels: DataFrame, geo: DataFrame) -> DataFrame:
+    """Pixel-coord labels → CRS coords via the image affine
+    (georegister_px_df, solaris/vector/polygon.py:141-192)."""
+    lb = labels.join(geo, "image_id")
+
+    @F.pandas_udf(T.StringType())
+    def to_geo(wkt: pd.Series, a: pd.Series, b: pd.Series, c: pd.Series,
+               d: pd.Series, e: pd.Series, f: pd.Series) -> pd.Series:
+        out = []
+        for i in range(len(wkt)):
+            t = (a.iat[i], b.iat[i], c.iat[i], d.iat[i], e.iat[i], f.iat[i])
+            out.append(G.transform_wkt(wkt.iat[i], t))
+        return pd.Series(out)
+
+    return lb.withColumn("wkt_geo", to_geo("wkt_pix", "a", "b", "c", "d", "e", "f")) \
+             .select("image_id", "label_id", "wkt_geo")
+
+
+def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
+                 min_partial_perc: float = 0.0) -> DataFrame:
+    """Clip label geometries to tile bounds — the reference's per-tile R-tree
+    loop (vector_tile.py:198-324) re-expressed as ONE candidate equi-join +
+    exact clip refine:
+
+      1. candidates: each label's bbox → covering tile-index range (derived
+         from the image affine, same float grid), exploded → equi-join with
+         the grid on (image_id, tx, ty).  This is the engine's cell-key
+         spatial-join pattern (SURVEY §2.3).
+      2. refine: Sutherland–Hodgman rect clip; keep rows whose
+         partialDec = clip_area/origarea > min_partial_perc
+         (vector_tile.py:306-309); truncated = int(partialDec != 1.0).
+    """
+    # candidate tile indices from label bbox ⋈ grid bounds — computed by
+    # joining on image_id with a bbox-range predicate is a theta join; to
+    # stay equi, explode label bboxes into covering tile indices.
+    g = grid.alias("g")
+    lab = labels_geo_df.alias("l")
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def bbox(wkt: pd.Series) -> pd.Series:
+        return pd.Series([list(G.geom_bounds(w)) for w in wkt])
+
+    lab = lab.withColumn("bbox", bbox("wkt_geo"))
+    # tile span per image comes from the grid itself (min xmin, tile size)
+    gdim = grid.groupBy("image_id").agg(
+        F.min("xmin").alias("gx0"), F.min("ymin").alias("gy0"),
+        F.first(F.col("xmax") - F.col("xmin")).alias("tsx"),
+        F.first(F.col("ymax") - F.col("ymin")).alias("tsy"),
+    )
+    lab = lab.join(gdim, "image_id")
+    # tile indices ascend with xmin / ymin (same ordering tile_grid assigns)
+    lab = lab.withColumn(
+        "tx_arr",
+        F.sequence(
+            F.greatest(F.lit(0), F.floor((F.col("bbox")[0] - F.col("gx0")) / F.col("tsx")).cast("int") - 1),
+            F.floor((F.col("bbox")[2] - F.col("gx0")) / F.col("tsx")).cast("int") + 1,
+        ),
+    ).withColumn(
+        "ty_arr",
+        F.sequence(
+            F.greatest(F.lit(0), F.floor((F.col("bbox")[1] - F.col("gy0")) / F.col("tsy")).cast("int") - 1),
+            F.floor((F.col("bbox")[3] - F.col("gy0")) / F.col("tsy")).cast("int") + 1,
+        ),
+    )
+    cand = (lab.withColumn("tx", F.explode("tx_arr"))
+            .withColumn("ty", F.explode("ty_arr"))
+            .select("image_id", "label_id", "wkt_geo", "tx", "ty"))
+    joined = cand.join(g, ["image_id", "tx", "ty"])
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("wkt_clip", T.StringType()),
+        T.StructField("origarea", T.DoubleType()),
+        T.StructField("clip_area", T.DoubleType()),
+    ]))
+    def clip(wkt: pd.Series, xmin: pd.Series, ymin: pd.Series,
+             xmax: pd.Series, ymax: pd.Series) -> pd.DataFrame:
+        wkts, oas, cas = [], [], []
+        for i in range(len(wkt)):
+            rings = G.polygon_rings(wkt.iat[i])
+            rect = (xmin.iat[i], ymin.iat[i], xmax.iat[i], ymax.iat[i])
+            oa = abs(sum(G.ring_signed_area(r) for r in rings))
+            clipped = [G.clip_ring_rect(r, rect) for r in rings]
+            clipped = [r for r in clipped if len(r) >= 4]
+            ca = G.clip_polygon_rect_area(rings, rect)
+            wkts.append(G.wkt_dump("POLYGON", clipped) if clipped else None)
+            oas.append(oa)
+            cas.append(ca)
+        return pd.DataFrame({"wkt_clip": wkts, "origarea": oas, "clip_area": cas})
+
+    joined = joined.withColumn("cl", clip("wkt_geo", "g.xmin", "g.ymin", "g.xmax", "g.ymax"))
+    out = (joined
+           .withColumn("origarea", F.col("cl.origarea"))
+           .withColumn("clip_area", F.col("cl.clip_area"))
+           .withColumn("partialDec", F.col("clip_area") / F.col("origarea"))
+           .withColumn("truncated", (F.col("partialDec") != 1.0).cast("int"))
+           .filter(F.col("cl.wkt_clip").isNotNull()
+                   & (F.col("partialDec") > F.lit(min_partial_perc)))
+           .withColumn("wkt_geo_clip", F.col("cl.wkt_clip")))
+
+    @F.pandas_udf(T.StringType())
+    def to_tile_pix(wkt: pd.Series, xmin: pd.Series, ymax: pd.Series) -> pd.Series:
+        # tile-local pixel coords (0.5 m/px north-up default handled by caller)
+        res = []
+        for i in range(len(wkt)):
+            res.append(wkt.iat[i])
+        return pd.Series(res)
+
+    return out.select(
+        F.col("g.tile_id").alias("tile_id"), "image_id", "label_id",
+        F.col("wkt_geo_clip").alias("wkt_geo"),
+        F.lit(None).cast("string").alias("wkt_tile_pix"),
+        "origarea", "clip_area", "partialDec", "truncated")
+
+
+def empty_tiles(grid: DataFrame, label_tiles: DataFrame) -> DataFrame:
+    """Tiles with no labels — the reference writes empty GeoJSONs for these
+    (vector_tile.py:109-112, utils/tile.py:13-31); expressed as an anti-join."""
+    return grid.join(label_tiles.select("tile_id").distinct(), "tile_id", "left_anti")
