@@ -470,7 +470,9 @@ def polygon_intersection_area(rings_a: list[np.ndarray], rings_b: list[np.ndarra
             for k in range(1, len(pts) - 1):
                 area += _tri_area2(x0, y0, pts[k][0], pts[k][1], pts[k + 1][0], pts[k + 1][1])
             total += sa * sb * abs(0.5 * area)
-    return max(total, 0.0)
+    # Σ s_i χ_{T_i} = winding = ±χ_A depending on ring orientation, so the
+    # double sum is ±area(A∩B); the magnitude is orientation-independent.
+    return abs(total)
 
 
 def iou_wkt(wkt_a: str, wkt_b: str) -> float:

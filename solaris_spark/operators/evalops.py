@@ -1,0 +1,204 @@
+"""Evaluation joins + aggregations: IoU matching, per-image scores, rollups.
+
+Re-expresses (Spark-first):
+- calculate_iou           → solaris/eval/iou.py:4-44 (IoU per candidate pair)
+- eval_iou greedy match   → solaris/eval/base.py:268-287: proposals in order
+                            each claim their max-IoU GT (strictly > miniou)
+                            and REMOVE it; leftover GT = FN; TP counts >= miniou
+- eval_iou_spacenet_csv   → base.py:63-208: per-image loop + min_area filters
+                            (GT: area >= min_area, proposals: area > min_area)
+                            + per-building max-claimed IoU (get_iou_by_building)
+- score rollup            → base.py:157-206 (P/R/F1), challenges.py:62-87
+                            (AOI groupby-sum + recompute)
+- mAP                     → eval/vector.py:469-513
+
+The sequential claim semantics exist only WITHIN an image group —
+images are the parallel axis (10^12 of them at scale), so the engine runs
+groupBy(image_id).applyInPandas(greedy) after a cell-key candidate join.
+Salting hot images is the caller's knob (plans/skew.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, Window
+
+from ..functions import geom as G
+
+MATCH_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),      # 'pred' | 'gt'
+    T.StructField("row_id", T.LongType(), False),
+    T.StructField("iou_score", T.DoubleType(), True),
+    T.StructField("matched_gt", T.LongType(), True),
+])
+
+
+def _greedy_match_group(pdf: pd.DataFrame, miniou: float, min_area: float) -> pd.DataFrame:
+    """One image's greedy match. Exact reference semantics:
+
+    - GT filtered to area >= min_area; proposals to area > min_area
+      (base.py:114-120 — note the asymmetric comparison)
+    - proposals processed in ascending `order` (conf-desc rank assigned
+      upstream); zero-area proposals score 0 (base.py:126)
+    - per proposal: IoU vs REMAINING GT; first-max tie-break in GT original
+      order (pandas idxmax); claim iff iou > miniou (strict), then drop GT
+    - per-GT "iou_score" records the max IoU over proposals whose argmax it
+      was, even when below miniou (base.py:138-146 / get_iou_by_building)
+    """
+    image_id = pdf["image_id"].iloc[0]
+    gt = pdf[pdf["kind"] == "gt"].sort_values("row_id")
+    pred = pdf[pdf["kind"] == "pred"].sort_values("order", kind="stable")
+
+    gt_rings = [G.polygon_rings(w) if w else [] for w in gt["wkt"]]
+    gt_areas = np.array([abs(sum(G.ring_signed_area(r) for r in rr)) if rr else 0.0
+                         for rr in gt_rings])
+    keep_gt = gt_areas >= min_area
+    gt_ids = gt["row_id"].to_numpy()[keep_gt]
+    gt_rings = [r for r, k in zip(gt_rings, keep_gt) if k]
+    gt_areas = gt_areas[keep_gt]
+    gt_bbox = np.array([[*np.vstack(r).min(axis=0), *np.vstack(r).max(axis=0)]
+                        if r else [0, 0, -1, -1] for r in gt_rings]) \
+        if gt_rings else np.empty((0, 4))
+
+    pred_rings = [G.polygon_rings(w) if w else [] for w in pred["wkt"]]
+    pred_areas = np.array([abs(sum(G.ring_signed_area(r) for r in rr)) if rr else 0.0
+                           for rr in pred_rings])
+    keep_pr = pred_areas > min_area
+    pred_ids = pred["row_id"].to_numpy()[keep_pr]
+    pred_rings = [r for r, k in zip(pred_rings, keep_pr) if k]
+    pred_areas = pred_areas[keep_pr]
+
+    alive = np.ones(len(gt_ids), dtype=bool)
+    gt_best = np.zeros(len(gt_ids))
+    out_pred_iou = np.zeros(len(pred_ids))
+    out_pred_match = np.full(len(pred_ids), -1, dtype=np.int64)
+
+    for i, rings in enumerate(pred_rings):
+        if pred_areas[i] <= 0 or not len(gt_ids):
+            continue
+        pb = np.vstack(rings)
+        pxmin, pymin = pb.min(axis=0)
+        pxmax, pymax = pb.max(axis=0)
+        cand = alive & (gt_bbox[:, 0] <= pxmax) & (gt_bbox[:, 2] >= pxmin) \
+            & (gt_bbox[:, 1] <= pymax) & (gt_bbox[:, 3] >= pymin)
+        idxs = np.where(cand)[0]
+        if not len(idxs):
+            continue
+        best_iou, best_j = -1.0, -1
+        for j in idxs:
+            inter = G.polygon_intersection_area(rings, gt_rings[j])
+            union = pred_areas[i] + gt_areas[j] - inter
+            iou = inter / union if union > 0 else 0.0
+            if iou > best_iou:  # strict > keeps FIRST max (idxmax semantics)
+                best_iou, best_j = iou, j
+        if best_j < 0:
+            continue
+        if best_iou > gt_best[best_j]:
+            gt_best[best_j] = best_iou
+        if best_iou > miniou:
+            out_pred_iou[i] = best_iou
+            out_pred_match[i] = gt_ids[best_j]
+            alive[best_j] = False
+
+    rows = []
+    for i, pid in enumerate(pred_ids):
+        rows.append((image_id, "pred", int(pid), float(out_pred_iou[i]),
+                     int(out_pred_match[i]) if out_pred_match[i] >= 0 else None))
+    for j, gid in enumerate(gt_ids):
+        rows.append((image_id, "gt", int(gid), float(gt_best[j]),
+                     None if alive[j] else int(gid)))
+    return pd.DataFrame(rows, columns=["image_id", "kind", "row_id",
+                                       "iou_score", "matched_gt"])
+
+
+def greedy_iou_match(gt: DataFrame, pred: DataFrame, miniou: float = 0.5,
+                     min_area: float = 0.0) -> DataFrame:
+    """Distributed greedy IoU matching.
+
+    gt:   (image_id, row_id long, wkt string)
+    pred: (image_id, row_id long, wkt string, conf double nullable)
+
+    Proposals are ordered per image by conf desc (stable w.r.t. row_id for
+    ties — load_proposal's sort, base.py:532).  Returns MATCH_SCHEMA rows:
+    one per surviving proposal (iou_score, matched_gt) and one per surviving
+    GT (max-claimed iou, matched flag).
+    """
+    w = Window.partitionBy("image_id").orderBy(
+        F.desc_nulls_last("conf"), F.asc("row_id"))
+    p = pred.withColumn("order", F.row_number().over(w)) \
+        .select("image_id", "row_id", "wkt", "order", F.lit("pred").alias("kind"))
+    g = gt.select("image_id", "row_id", "wkt",
+                  F.lit(0).alias("order"), F.lit("gt").alias("kind"))
+    both = p.unionByName(g)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _greedy_match_group(pdf, miniou, min_area)
+
+    return both.groupBy("image_id").applyInPandas(run, schema=MATCH_SCHEMA)
+
+
+def image_scores(match: DataFrame, miniou: float = 0.5) -> DataFrame:
+    """Per-image TP/FP/FN + P/R/F1 — base.py:157-206 exactly:
+    TP = preds with iou >= miniou; FP = preds with iou < miniou;
+    FN = GT never claimed above miniou."""
+    agg = match.groupBy("image_id").agg(
+        F.sum(F.when((F.col("kind") == "pred")
+                     & (F.col("iou_score") >= miniou), 1).otherwise(0)).alias("TruePos"),
+        F.sum(F.when((F.col("kind") == "pred")
+                     & (F.col("iou_score") < miniou), 1).otherwise(0)).alias("FalsePos"),
+        F.sum(F.when((F.col("kind") == "gt")
+                     & F.col("matched_gt").isNull(), 1).otherwise(0)).alias("FalseNeg"),
+    )
+    return with_prf(agg)
+
+
+def with_prf(df: DataFrame) -> DataFrame:
+    """Attach Precision/Recall/F1 from TP/FP/FN counts (0 when undefined —
+    reference convention base.py:184-195)."""
+    p = F.when(F.col("TruePos") + F.col("FalsePos") > 0,
+               F.col("TruePos") / (F.col("TruePos") + F.col("FalsePos"))).otherwise(F.lit(0.0))
+    r = F.when(F.col("TruePos") + F.col("FalseNeg") > 0,
+               F.col("TruePos") / (F.col("TruePos") + F.col("FalseNeg"))).otherwise(F.lit(0.0))
+    df = df.withColumn("Precision", p).withColumn("Recall", r)
+    return df.withColumn(
+        "F1Score",
+        F.when(F.col("Precision") * F.col("Recall") > 0,
+               2 * F.col("Precision") * F.col("Recall")
+               / (F.col("Precision") + F.col("Recall"))).otherwise(F.lit(0.0)))
+
+
+def aoi_rollup(image_scores_df: DataFrame, aoi_col: str = "aoi") -> DataFrame:
+    """challenges.py:62-87: sum TP/FP/FN per AOI then recompute P/R/F1 from
+    the sums (NOT averaging per-image scores)."""
+    agg = image_scores_df.groupBy(aoi_col).agg(
+        F.sum("TruePos").alias("TruePos"),
+        F.sum("FalsePos").alias("FalsePos"),
+        F.sum("FalseNeg").alias("FalseNeg"))
+    return with_prf(agg)
+
+
+def average_precision(pairs: DataFrame, conf_col: str = "conf",
+                      tp_col: str = "is_tp",
+                      n_gt: int | None = None) -> DataFrame:
+    """Interpolated mAP (eval/vector.py:469-513): sort by conf desc →
+    cumulative TP/FP → precision @ recall curve → max precision at 101
+    recall thresholds → mean.  Pure window + crossJoin(thresholds) —
+    no UDF, whole-stage codegen all the way."""
+    w = Window.orderBy(F.desc(conf_col)).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (pairs
+           .withColumn("cum_tp", F.sum(F.col(tp_col).cast("int")).over(w))
+           .withColumn("cum_n", F.count(F.lit(1)).over(w)))
+    total_gt = F.lit(n_gt) if n_gt is not None else F.lit(None)
+    cum = cum.withColumn("precision", F.col("cum_tp") / F.col("cum_n")) \
+             .withColumn("recall", F.col("cum_tp") / total_gt)
+    spark = pairs.sparkSession
+    thresholds = spark.range(101).select((F.col("id") / 100.0).alias("rt"))
+    ap = (cum.crossJoin(F.broadcast(thresholds))
+          .filter(F.col("recall") >= F.col("rt"))
+          .groupBy("rt").agg(F.max("precision").alias("pmax"))
+          .agg((F.sum("pmax") / 101.0).alias("ap")))
+    return ap

@@ -1,0 +1,101 @@
+"""End-to-end Spark tiling parity vs reference fixtures
+(mirrors /root/reference/tests/test_tile/test_tile.py)."""
+
+import json
+import os
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from solaris_spark.functions import geom as G
+from solaris_spark.functions.tiffio import read_tiff
+from solaris_spark.operators import tiling
+from solaris_spark.sources import synth
+
+DATA = "/root/reference/solaris/data"
+
+
+@pytest.fixture(scope="module")
+def fixture_ig(spark):
+    images = synth.fixture_image_df(spark)
+    geo = synth.image_geo_table(spark, images)
+    return tiling.with_geo(images, geo)
+
+
+class TestRasterTiling:
+    def test_100_tiles_exact(self, spark, fixture_ig):
+        tiles = tiling.raster_tiles(fixture_ig, (90, 90)).collect()
+        assert len(tiles) == 100
+        exp_dir = os.path.join(DATA, "rastertile_test_expected")
+        expected = {f[:-4] for f in os.listdir(exp_dir)}
+        got = {r["tile_id"].replace(synth.FIXTURE_IMAGE_ID, "sample_geotiff")
+               for r in tiles}
+        assert got == expected
+        for r in tiles:
+            name = r["tile_id"].replace(synth.FIXTURE_IMAGE_ID,
+                                        "sample_geotiff") + ".tif"
+            g = read_tiff(os.path.join(exp_dir, name)).array
+            t = np.frombuffer(r["pixels"], dtype=np.uint16).reshape(
+                r["nchan"], r["th"], r["tw"])
+            assert np.array_equal(t, g), name
+
+
+class TestVectorTiling:
+    def test_clip_parity(self, spark, fixture_ig):
+        grid = tiling.tile_grid(fixture_ig, (90, 90))
+        gj = json.load(open(os.path.join(DATA, "geotiff_labels.geojson")))
+        rows = []
+        for i, f in enumerate(gj["features"]):
+            rings = [np.asarray(r, dtype=np.float64)[:, :2]
+                     for r in f["geometry"]["coordinates"]]
+            rows.append((synth.FIXTURE_IMAGE_ID, i, G.wkt_dump("POLYGON", rings)))
+        lab = spark.createDataFrame(
+            rows, "image_id string, label_id int, wkt_geo string")
+        res = tiling.vector_tiles(lab, grid).collect()
+
+        by_tile = defaultdict(list)
+        for r in res:
+            by_tile[r["tile_id"]].append(r["wkt_geo"])
+
+        exp_dir = os.path.join(DATA, "vectortile_test_expected")
+        n_match = 0
+        for fn in sorted(os.listdir(exp_dir)):
+            x, y = fn[:-8].split("_")[1:3]
+            tid = f"{synth.FIXTURE_IMAGE_ID}_{x}_{y}"
+            e = json.load(open(os.path.join(exp_dir, fn)))
+            exp_geoms = []
+            for f in e["features"]:
+                g = f["geometry"]
+                polys = ([g["coordinates"]] if g["type"] == "Polygon"
+                         else g["coordinates"])
+                for poly in polys:
+                    exp_geoms.append([np.asarray(r)[:, :2].astype(float)
+                                      for r in poly])
+            ours = [G.polygon_rings(w) for w in by_tile.get(tid, [])]
+            if not exp_geoms:
+                assert not ours, fn
+                n_match += 1
+                continue
+            def area(gs):
+                return sum(abs(G.ring_signed_area(g[0]))
+                           - sum(abs(G.ring_signed_area(h)) for h in g[1:])
+                           for g in gs)
+            a_our = area(ours)
+            inter = sum(G.polygon_intersection_area(go, ge)
+                        for go in ours for ge in exp_geoms)
+            assert a_our > 0, fn
+            assert inter / a_our > 0.99999, fn
+            assert abs(area(exp_geoms) - a_our) / area(exp_geoms) < 1e-4, fn
+            n_match += 1
+        assert n_match == 100
+
+    def test_empty_tiles_anti_join(self, spark, fixture_ig):
+        grid = tiling.tile_grid(fixture_ig, (90, 90))
+        lab = spark.createDataFrame(
+            [(synth.FIXTURE_IMAGE_ID, 0,
+              "POLYGON ((733610 3725100, 733640 3725100, 733640 3725130, 733610 3725130, 733610 3725100))")],
+            "image_id string, label_id int, wkt_geo string")
+        lt = tiling.vector_tiles(lab, grid)
+        empties = tiling.empty_tiles(grid, lt)
+        assert empties.count() + lt.select("tile_id").distinct().count() == 100
