@@ -651,12 +651,16 @@ def offset_curve(ring: np.ndarray, radius: float, quad_segs: int = 16) -> np.nda
         p1 = (vx + radius * n1[0], vy + radius * n1[1])  # end of offset edge j
         p2 = (vx + radius * n2[0], vy + radius * n2[1])  # start of offset edge i
         cross = dxs[j] * dys[i] - dys[j] * dxs[i]
+        dot = dxs[j] * dxs[i] + dys[j] * dys[i]
         out.append(p1)
-        if s * cross > 0.0:  # convex: insert fillet arc
+        # convex turn → fillet arc; exact direction reversal (line end cap /
+        # spike, cross == 0 and opposite directions) → π arc
+        is_cap = cross == 0.0 and dot < 0.0
+        if s * cross > 0.0 or is_cap:
             th1 = math.atan2(n1[1], n1[0])
             th2 = math.atan2(n2[1], n2[0])
-            total = (s * (th2 - th1)) % (2 * math.pi)
-            if 0.0 < total < math.pi:
+            total = math.pi if is_cap else (s * (th2 - th1)) % (2 * math.pi)
+            if 0.0 < total <= math.pi:
                 nsegs = int(total / quantum + 0.5)
                 if nsegs >= 1:
                     delta = total / nsegs
@@ -669,6 +673,25 @@ def offset_curve(ring: np.ndarray, radius: float, quad_segs: int = 16) -> np.nda
         out.append(p2)
     out.append(out[0])
     return np.asarray(out, dtype=np.float64)
+
+
+def line_offset_curve(coords: np.ndarray, radius: float,
+                      quad_segs: int = 16) -> np.ndarray:
+    """GEOS-style buffer outline of an open LINESTRING with round caps:
+    the doubled path p0..pn-1..p1 closed is a degenerate ring whose offset
+    curve IS the line buffer outline (direction reversals at both ends turn
+    into the π cap arcs via offset_curve's cap handling)."""
+    pts = np.asarray(coords, dtype=np.float64)
+    if len(pts) >= 2 and np.array_equal(pts[0], pts[-1]):
+        # closed linestring: buffer = ring offset both sides; approximate by
+        # treating as the doubled open path of its vertices
+        pts = pts[:-1]
+    doubled = np.vstack([pts, pts[-2:0:-1], pts[:1]])
+    # fake ring orientation: ring_signed_area is 0 for a doubled path, so
+    # force s=+1 by nudging: offset_curve computes s from signed area — a
+    # degenerate path yields s=-1 branch if area <= 0; both give the same
+    # capsule under nonzero winding (sides swap, arcs sweep the other way).
+    return offset_curve(doubled, radius, quad_segs)
 
 
 def points_in_geos_buffer(px: np.ndarray, py: np.ndarray,
