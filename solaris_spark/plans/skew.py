@@ -1,0 +1,49 @@
+"""Skew handling: salting + range repartitioning (north rule: "partitioning /
+shuffle / skew handled explicitly").
+
+The reference has no skew handling (its per-image loop is serial —
+SURVEY §4); at 10^12 images the hot keys are (a) dense tile cells (city
+centers vs ocean) and (b) mega-images with 10^5 labels.  Tools:
+
+- salt_column / salted_join: classic N-way key salting: replicate the small
+  side N times, scatter the big side uniformly.
+- repartition_by_range: range-partition on (cell, image_id) so tile-density
+  skew spreads along the Z-order curve (locality-preserving: neighboring
+  cells land in the same partition → downstream joins co-locate).
+- AQE (spark.sql.adaptive.skewJoin) is enabled by session.py as the runtime
+  backstop; these helpers are the plan-time lever.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def salt_column(n_salts: int, key_col: str = None):
+    """Deterministic salt 0..n_salts-1: hash-based when key_col given (stable
+    across runs — lineage-friendly), uniform random otherwise."""
+    if key_col is not None:
+        return F.pmod(F.hash(F.col(key_col)), F.lit(n_salts))
+    return F.floor(F.rand(seed=42) * n_salts).cast("int")
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 8, how: str = "inner",
+                salt_by: str | None = None) -> DataFrame:
+    """Equi-join where `big` has hot values of `key`: big side gets a salt
+    from a secondary column (or random), small side is exploded ×n_salts.
+    Shuffle width for hot keys drops from 1 task to n_salts tasks."""
+    b = big.withColumn("_salt", salt_column(n_salts, salt_by))
+    s = small.withColumn("_salt", F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def repartition_by_range(df: DataFrame, n: int, *cols) -> DataFrame:
+    """Range repartition (default: Z-order cell then image_id) — balances
+    tile-density skew while keeping spatial locality within partitions."""
+    if not cols:
+        cols = ("cell", "image_id")
+    return df.repartitionByRange(n, *[F.col(c) for c in cols])
