@@ -3,36 +3,872 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Determinism notes (Spark vs DuckDB float parity):
+- money/quantity aggregates go through DECIMAL(18,2) sums (exact, order-
+  independent) then cast to double — bit-identical in both engines;
+- ratios are computed from those exact doubles with ROUND(x, 6) on both
+  sides;
+- hash-based ops (minhash/simhash/fingerprints) use
+  md5-hex-substring → integer, computable identically in both engines.
+
+Geometry/pipeline operators that SQL cannot express (tiling, rasterization,
+greedy IoU matching, spatial kNN, phash LSH over synthesized images) are
+exposed as rows-only entries (no oracle) — their exactness is covered by
+the pytest fixture-parity suite instead (tests/, BASELINE.md).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col):
+    return col.cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: spatial tile+mask+match pipeline on a deterministic
+# synthetic image table, plus scan stats of the sf0.001 relational tables.
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    from solaris_spark.operators import evalops, masks, tiling
+    from solaris_spark.sources import synth
+
+    images = synth.images_table(spark, 8, include_fixture=True)
+    geo = synth.image_geo_table(spark, images)
+    ig = tiling.with_geo(images, geo)
+    tiles = tiling.raster_tiles(ig, (90, 90))
+    labels = synth.labels_table(spark, images)
+    lg = tiling.labels_geo(labels, geo)
+    grid = tiling.tile_grid(ig, (90, 90))
+    ltiles = tiling.vector_tiles(lg, grid)
+    fp = masks.image_masks(labels, ig, channels=["footprint"])
+
+    li = _load(spark, sf_dir, "lineitem")
+    docs = _load(spark, sf_dir, "documents")
+
+    rows = [
+        ("images", images.count()),
+        ("raster_tiles", tiles.count()),
+        ("grid_tiles", grid.count()),
+        ("label_tiles", ltiles.count()),
+        ("footprint_masks", fp.count()),
+        ("lineitem_rows", li.count()),
+        ("documents_rows", docs.count()),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (SURVEY §2 operator analogues) with DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_rollup(spark, sf_dir):
+    """TPC-H-Q1-shaped groupBy agg — AOI rollup pattern (challenges.py:62)."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(_dec(F.col("l_quantity"))).alias("_sq"),
+                F.sum(_dec(F.col("l_extendedprice"))).alias("_sp"),
+                F.count(F.lit(1)).alias("count_order"))
+           .select("l_returnflag", "l_linestatus",
+                   F.col("_sq").cast("double").alias("sum_qty"),
+                   F.col("_sp").cast("double").alias("sum_base_price"),
+                   "count_order")
+           .orderBy("l_returnflag", "l_linestatus"))
+    return out
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_score_rollup(spark, sf_dir):
+    """Per-group conditional-count scores + P/R/F1 recompute — the
+    eval/base.py:157-206 + challenges.py:62-87 pattern on lineitem."""
+    li = _load(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag")
+           .agg(F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("tp"),
+                F.sum(F.when((F.col("l_quantity") < 25)
+                             & (F.col("l_discount") > 0.05), 1).otherwise(0)).alias("fp"),
+                F.sum(F.when((F.col("l_quantity") < 25)
+                             & (F.col("l_discount") <= 0.05), 1).otherwise(0)).alias("fn")))
+    p = F.col("tp") / (F.col("tp") + F.col("fp"))
+    r = F.col("tp") / (F.col("tp") + F.col("fn"))
+    return (agg.withColumn("precision", F.round(p, 6))
+            .withColumn("recall", F.round(r, 6))
+            .withColumn("f1", F.round(2 * p * r / (p + r), 6))
+            .orderBy("l_returnflag"))
+
+
+SQL_SCORE = """
+WITH agg AS (
+  SELECT l_returnflag,
+         SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN l_quantity < 25 AND l_discount > 0.05 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN l_quantity < 25 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS fn
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, tp, fp, fn,
+       ROUND(tp / (tp + fp), 6) AS precision,
+       ROUND(tp / (tp + fn), 6) AS recall,
+       ROUND(2 * (tp/(tp+fp)) * (tp/(tp+fn)) / ((tp/(tp+fp)) + (tp/(tp+fn))), 6) AS f1
+FROM agg ORDER BY l_returnflag
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Window top-k per group — top-1 IoU / kNN rank pattern
+    (eval/base.py:132-134 → row_number <= k)."""
+    li = _load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    out = (li.filter(F.col("l_orderkey") <= 1000)
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 2)
+           .select("l_orderkey", "l_linenumber", "rank",
+                   F.col("l_extendedprice").alias("price"))
+           .orderBy("l_orderkey", "rank"))
+    return out
+
+
+SQL_TOPK = """
+SELECT l_orderkey, l_linenumber, rank, price FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rank
+  FROM lineitem WHERE l_orderkey <= 1000) t
+WHERE rank <= 2 ORDER BY l_orderkey, rank
+"""
+
+
+def q_conf_cumsum(spark, sf_dir):
+    """Cumulative counts in conf-desc order — the mAP running-sum pattern
+    (eval/vector.py:484-492)."""
+    o = _load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    out = (o.filter(F.col("o_orderkey") <= 2000)
+           .withColumn("cum_n", F.count(F.lit(1)).over(w))
+           .withColumn("cum_price",
+                       F.sum(_dec(F.col("o_totalprice"))).over(w)
+                       .cast("double"))
+           .select("o_orderkey", "cum_n", "cum_price")
+           .orderBy("o_orderkey"))
+    return out
+
+
+SQL_CUMSUM = """
+SELECT o_orderkey,
+       COUNT(*) OVER w AS cum_n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS cum_price
+FROM orders WHERE o_orderkey <= 2000
+WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+
+def q_broadcast_lookup(spark, sf_dir):
+    """Broadcast dim lookup — AOI-bin lookup join (challenges.py:144-177)."""
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    o = _load(spark, sf_dir, "orders")
+    out = (o.join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy("r_name")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"))
+           .orderBy("r_name"))
+    return out
+
+
+SQL_BROADCAST = """
+SELECT r_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """Set difference — scot change-detection sets (eval/scot.py:135-138)."""
+    o = _load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    out = (a.distinct().exceptAll(b.distinct())
+           .withColumnRenamed("o_custkey", "custkey")
+           .orderBy("custkey"))
+    return out
+
+
+SQL_SETOPS = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY custkey
+"""
+
+
+def q_semi_anti(spark, sf_dir):
+    """Semi + anti join — overlapping-subset semi-join
+    (vector/polygon.py:261-326) and empty-tile anti-join
+    (vector_tile.py:109-112)."""
+    s = _load(spark, sf_dir, "supplier")
+    li = _load(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 45).select("l_suppkey").distinct()
+    withq = s.join(big, s.s_suppkey == big.l_suppkey, "left_semi")
+    without = s.join(big, s.s_suppkey == big.l_suppkey, "left_anti")
+    out = (withq.select(F.lit("has_bulk").alias("kind"), "s_nationkey")
+           .unionByName(without.select(F.lit("no_bulk").alias("kind"), "s_nationkey"))
+           .groupBy("kind", "s_nationkey").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy("kind", "s_nationkey"))
+    return out
+
+
+SQL_SEMIANTI = """
+WITH big AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity >= 45)
+SELECT kind, s_nationkey, COUNT(*) AS n FROM (
+  SELECT 'has_bulk' AS kind, s_nationkey FROM supplier
+  WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+  UNION ALL
+  SELECT 'no_bulk' AS kind, s_nationkey FROM supplier
+  WHERE s_suppkey NOT IN (SELECT l_suppkey FROM big)) t
+GROUP BY kind, s_nationkey ORDER BY kind, s_nationkey
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles — t-digest analogue
+    (raster/image.py:226-306 → built-in percentile)."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = (li.groupBy("l_returnflag")
+           .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+                F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+                F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("price_p25"))
+           .orderBy("l_returnflag"))
+    return out
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_grouping_rollup(spark, sf_dir):
+    """SQL ROLLUP — two-level image→AOI rollup generalization (SURVEY §2.4)."""
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    out = (c.join(n, c.c_nationkey == n.n_nationkey)
+           .rollup("n_regionkey", "n_name")
+           .agg(F.count(F.lit(1)).alias("n_cust"),
+                F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("acctbal"))
+           .select(F.coalesce(F.col("n_regionkey").cast("string"),
+                              F.lit("ALL")).alias("regionkey"),
+                   F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                   "n_cust", "acctbal")
+           .orderBy("regionkey", "nation"))
+    return out
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(CAST(n_regionkey AS VARCHAR), 'ALL') AS regionkey,
+       COALESCE(n_name, 'ALL') AS nation,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_regionkey, n_name)
+ORDER BY regionkey, nation
+"""
+
+
+def q_bounds_agg(spark, sf_dir):
+    """min/max bounds aggregate — geometry.total_bounds analogue
+    (utils/geo.py:204)."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = (li.groupBy((F.col("l_partkey") % 10).alias("bucket"))
+           .agg(F.min("l_quantity").alias("qmin"),
+                F.max("l_quantity").alias("qmax"),
+                F.min("l_extendedprice").alias("pmin"),
+                F.max("l_extendedprice").alias("pmax"))
+           .orderBy("bucket"))
+    return out
+
+
+SQL_BOUNDS = """
+SELECT l_partkey % 10 AS bucket,
+       MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax,
+       MIN(l_extendedprice) AS pmin, MAX(l_extendedprice) AS pmax
+FROM lineitem GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling event-time windows (batch equivalent of the streaming
+    windowed agg; Structured Streaming path in streaming/ingest.py)."""
+    e = _load(spark, sf_dir, "events")
+    out = (e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"))
+           .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+           .orderBy("day", "event_type"))
+    return out
+
+
+SQL_EVENT_WINDOWS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy.  The corpus is unioned with a
+    deterministic mirror copy (doc_id + 100000) so the dedup path has real
+    duplicate groups to find; keeper = min doc_id per hash."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    mirror = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text") \
+        .filter(F.col("doc_id") % 2 == 0)
+    u = d.unionByName(mirror)
+    out = (u.groupBy(F.md5(F.col("text")).alias("content_hash"))
+           .agg(F.count(F.lit(1)).alias("n_copies"),
+                F.min("doc_id").alias("keeper"))
+           .filter(F.col("n_copies") > 1)
+           .orderBy("keeper"))
+    return out
+
+
+SQL_DEDUP = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE (doc_id + 100000) % 2 = 0)
+SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+FROM u GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keeper
+"""
+
+
+_TRIGRAM_SPARK = ("array_distinct(transform(sequence(0, size(t)-3), "
+                  "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard near-dup pairs ≥ 0.4 — shingle-explode
+    equi-join (the relational skeleton under MinHash LSH)."""
+    d = _load(spark, sf_dir, "documents")
+    sh = (d.withColumn("t", F.split("text", " "))
+          .withColumn("s", F.explode(F.expr(_TRIGRAM_SPARK)))
+          .select("doc_id", "s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("da"),
+                      F.col("b.doc_id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    out = (pairs.join(sa, "da").join(sb, "db")
+           .withColumn("jaccard", F.round(
+               F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+           .filter(F.col("jaccard") >= 0.4)
+           .select("da", "db", "jaccard")
+           .orderBy("da", "db"))
+    return out
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, len(string_split(text,' '))-1),
+      i -> concat_ws(' ', string_split(text,' ')[i],
+                     string_split(text,' ')[i+1],
+                     string_split(text,' ')[i+2])))) AS s
+  FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT da, db, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
+ORDER BY da, db
+"""
+
+
+_N_HASHES = 16  # minhash signature length (4 bands x 4 rows)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-dup: md5-derived hash family (identical in both
+    engines), 16-hash signature, 4 bands → band-bucket join → candidate
+    pairs.  Deterministic ⇒ SQL-oracle-able end to end."""
+    d = _load(spark, sf_dir, "documents")
+    sh = (d.withColumn("t", F.split("text", " "))
+          .withColumn("s", F.explode(F.expr(_TRIGRAM_SPARK)))
+          .select("doc_id", "s"))
+    # minhash_i(doc) = min over shingles of md5(i || shingle) first 8 hex
+    mh = sh.select(
+        "doc_id",
+        *[F.conv(F.substring(F.md5(F.concat(F.lit(str(i) + "|"), F.col("s"))),
+                             1, 8), 16, 10).cast("long").alias(f"h{i}")
+          for i in range(_N_HASHES)])
+    sig = mh.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_N_HASHES)])
+    bands = sig.select(
+        "doc_id",
+        *[F.concat_ws("_", *[F.col(f"m{b * 4 + j}").cast("string")
+                             for j in range(4)]).alias(f"band{b}")
+          for b in range(4)])
+    stacked = bands.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(4)
+        ])).alias("bucket"))
+    a = stacked.alias("a")
+    b_ = stacked.alias("b")
+    out = (a.join(b_, (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+           .select(F.col("a.doc_id").alias("da"),
+                   F.col("b.doc_id").alias("db"))
+           .distinct()
+           .orderBy("da", "db"))
+    return out
+
+
+def _sql_minhash() -> str:
+    hash_exprs = ",\n    ".join(
+        f"MIN(CAST(concat('0x', substr(md5(concat('{i}|', s)), 1, 8)) AS BIGINT)) AS m{i}"
+        for i in range(_N_HASHES))
+    band_exprs = ",\n    ".join(
+        "concat_ws('_', " + ", ".join(f"CAST(m{b * 4 + j} AS VARCHAR)"
+                                      for j in range(4)) + f") AS band{b}"
+        for b in range(4))
+    buckets = ", ".join(f"concat('{b}:', band{b})" for b in range(4))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, len(string_split(text,' '))-1),
+      i -> concat_ws(' ', string_split(text,' ')[i],
+                     string_split(text,' ')[i+1],
+                     string_split(text,' ')[i+2])))) AS s
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+    {hash_exprs}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id,
+    {band_exprs}
+  FROM sig),
+stacked AS (
+  SELECT doc_id, unnest([{buckets}]) AS bucket FROM bands)
+SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY da, db
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash per document from md5-derived token hashes —
+    deterministic, SQL-oracle-able."""
+    d = _load(spark, sf_dir, "documents")
+    tok = (d.withColumn("tok", F.explode(F.split("text", " ")))
+           .select("doc_id", "tok")
+           .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                       .cast("long")))
+    bit = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"), "h")
+    bit = bit.withColumn(
+        "contrib",
+        F.when(F.expr("shiftrightunsigned(h, b) % 2") == 1, 1).otherwise(-1))
+    agg = bit.groupBy("doc_id", "b").agg(F.sum("contrib").alias("sumc"))
+    out = (agg.withColumn(
+        "bitval",
+        F.when(F.col("sumc") > 0, F.expr("shiftleft(1L, b)")).otherwise(0))
+        .groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+        .orderBy("doc_id"))
+    return out
+
+
+SQL_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM tok),
+bit AS (
+  SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM h, (SELECT unnest(range(0, 32)) AS b)),
+agg AS (SELECT doc_id, b, SUM(contrib) AS sumc FROM bit GROUP BY 1, 2)
+SELECT doc_id,
+       SUM(CASE WHEN sumc > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM agg GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_embedding_knn(spark, sf_dir):
+    """Brute-force cosine top-k over the embedding column — the ANN
+    baseline (IVF/LSH scale path in operators/ann.py)."""
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    t = e.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("tv"))
+    j = q.crossJoin(t).filter(F.col("qid") != F.col("tid"))
+    dot = F.expr("aggregate(zip_with(qv, tv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x)")
+    nq = F.expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    nt = F.expr("sqrt(aggregate(tv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    j = j.withColumn("cosine", F.round(dot / (nq * nt), 6))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("tid"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("qid", "tid", "rank", "cosine")
+            .orderBy("qid", "rank"))
+
+
+SQL_EMB_KNN = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+t AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings),
+j AS (
+  SELECT qid, tid,
+         ROUND(
+           list_sum(list_transform(range(1, len(qv)+1),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(tv)+1),
+                    i -> CAST(tv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE))))), 6) AS cosine
+  FROM q, t WHERE qid <> tid),
+r AS (SELECT qid, tid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, tid ASC) AS rank
+      FROM j)
+SELECT qid, tid, rank, cosine FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID: argmax stopword-hit ratio against a fixed
+    lexicon (relational: token explode ⋈ broadcast lexicon ⋈ argmax)."""
+    d = _load(spark, sf_dir, "documents")
+    lex = [("en", "the"), ("en", "a"), ("en", "data"), ("en", "value"),
+           ("de", "der"), ("de", "und"), ("fr", "le"), ("fr", "et"),
+           ("es", "el"), ("es", "y")]
+    lexdf = spark.createDataFrame(lex, "lang_guess string, word string")
+    tok = (d.withColumn("tok", F.explode(F.split("text", " ")))
+           .select("doc_id", "tok"))
+    ntok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hits = (tok.join(F.broadcast(lexdf), tok.tok == lexdf.word)
+            .groupBy("doc_id", "lang_guess").agg(F.count(F.lit(1)).alias("hits")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang_guess"))
+    out = (hits.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+           .join(ntok, "doc_id")
+           .select("doc_id", "lang_guess", "hits",
+                   F.round(F.col("hits") / F.col("n"), 6).alias("hit_ratio"))
+           .orderBy("doc_id"))
+    return out
+
+
+SQL_LANG_ID = """
+WITH lex(lang_guess, word) AS (VALUES
+  ('en','the'),('en','a'),('en','data'),('en','value'),
+  ('de','der'),('de','und'),('fr','le'),('fr','et'),('es','el'),('es','y')),
+tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+ntok AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+hits AS (SELECT doc_id, lang_guess, COUNT(*) AS hits
+         FROM tok JOIN lex ON tok = word GROUP BY 1, 2),
+best AS (SELECT doc_id, lang_guess, hits,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY hits DESC, lang_guess ASC) AS rk
+         FROM hits)
+SELECT b.doc_id, lang_guess, hits, ROUND(hits * 1.0 / n, 6) AS hit_ratio
+FROM best b JOIN ntok USING (doc_id) WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Text quality scoring: length / mean word length / stopword ratio."""
+    d = _load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+    out = (d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.round((F.length("text") - n_tok + 1) / n_tok, 6).alias("mean_word_len"),
+        F.round(stop_hits / n_tok, 6).alias("stop_ratio"))
+        .filter((F.col("n_tokens") >= 10) & (F.col("mean_word_len") >= 2.0))
+        .orderBy("doc_id"))
+    return out
+
+
+SQL_QUALITY = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars_m,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'and', 'of'))) AS stop_hits
+  FROM documents)
+SELECT doc_id, n_chars_m, n_tokens,
+       ROUND((n_chars_m - n_tokens + 1) * 1.0 / n_tokens, 6) AS mean_word_len,
+       ROUND(stop_hits * 1.0 / n_tokens, 6) AS stop_ratio
+FROM t WHERE n_tokens >= 10
+  AND (n_chars_m - n_tokens + 1) * 1.0 / n_tokens >= 2.0
+ORDER BY doc_id
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting rollup per source (whitespace tokenizer)."""
+    d = _load(spark, sf_dir, "documents")
+    out = (d.withColumn("n_tokens", F.size(F.split("text", " ")))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.min("n_tokens").alias("min_tokens"),
+                F.max("n_tokens").alias("max_tokens"))
+           .orderBy("source"))
+    return out
+
+
+SQL_TOKEN_COUNTS = """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       MIN(len(string_split(text, ' '))) AS min_tokens,
+       MAX(len(string_split(text, ' '))) AS max_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of the sorted distinct-token set (word-order
+    independent content signature) + duplicate-group sizes."""
+    d = _load(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(
+        F.array_distinct(F.split("text", " ")))))
+    out = (d.select("doc_id", fp.alias("fingerprint"))
+           .groupBy("fingerprint").agg(F.count(F.lit(1)).alias("group_size"),
+                                       F.min("doc_id").alias("first_doc"))
+           .filter(F.col("group_size") > 1)
+           .orderBy("first_doc"))
+    return out
+
+
+SQL_FINGERPRINT = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+       COUNT(*) AS group_size, MIN(doc_id) AS first_doc
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY first_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Geometry / pipeline queries — rows-only (no SQL oracle; pixel/geometry
+# exactness is pinned by the pytest fixture suite instead)
+# ---------------------------------------------------------------------------
+
+
+def g_tile_pipeline(spark, sf_dir):
+    from solaris_spark.operators import tiling
+    from solaris_spark.sources import synth
+    images = synth.images_table(spark, 12, include_fixture=True)
+    geo = synth.image_geo_table(spark, images)
+    tiles = tiling.raster_tiles(tiling.with_geo(images, geo), (90, 90))
+    return (tiles.groupBy("image_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.round(F.avg("nodata_frac"), 6).alias("avg_nodata"))
+            .orderBy("image_id"))
+
+
+def g_greedy_match(spark, sf_dir):
+    import json
+
+    import numpy as np
+
+    from solaris_spark.functions import geom as G
+    from solaris_spark.operators import evalops
+    rows_gt, rows_pr = [], []
+    for path, acc in (("gt", rows_gt), ("pred", rows_pr)):
+        gj = json.load(open(f"/root/reference/solaris/data/{path}.geojson"))
+        for i, f in enumerate(gj["features"]):
+            rings = [np.asarray(r, dtype=np.float64)[:, :2]
+                     for r in f["geometry"]["coordinates"]]
+            acc.append(("img0", i, G.wkt_dump("POLYGON", rings)))
+    gt = spark.createDataFrame(rows_gt, "image_id string, row_id long, wkt string")
+    pred = spark.createDataFrame([(a, b, c, 1.0) for a, b, c in rows_pr],
+                                 "image_id string, row_id long, wkt string, conf double")
+    m = evalops.greedy_iou_match(gt, pred, miniou=0.5)
+    return evalops.image_scores(m, miniou=0.5).orderBy("image_id")
+
+
+def g_masks(spark, sf_dir):
+    import csv
+
+    from solaris_spark.operators import masks, tiling
+    from solaris_spark.sources import synth
+    images = synth.fixture_image_df(spark)
+    geo = synth.image_geo_table(spark, images)
+    ig = tiling.with_geo(images, geo)
+    rows = list(csv.DictReader(open(synth.FIXTURE_CSV)))
+    lab = spark.createDataFrame(
+        [(synth.FIXTURE_IMAGE_ID, i, r["PolygonWKT_Pix"])
+         for i, r in enumerate(rows)],
+        "image_id string, label_id int, wkt_pix string")
+    mk = masks.image_masks(lab, ig, channels=["footprint", "boundary", "contact"])
+
+    @F.pandas_udf("long")
+    def set_px(mask: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series([int((np.frombuffer(m, dtype=np.uint8) > 0).sum())
+                          for m in mask])
+
+    return mk.select("image_id", "channels", "h", "w", "nchan",
+                     set_px("mask").alias("set_pixels")).orderBy("image_id")
+
+
+def g_knn_spatial(spark, sf_dir):
+    import numpy as np
+
+    from solaris_spark.operators import joins
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 1000, size=(400, 2))
+    df = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "pid int, x double, y double")
+    q = df.filter(F.col("pid") < 25).withColumnRenamed("pid", "qid")
+    t = df.withColumnRenamed("pid", "tid")
+    return (joins.knn_join(q, t.filter(F.col("tid") >= 25), k=3,
+                           cell_size=120.0, max_ring=3)
+            .withColumn("dist", F.round("dist", 6))
+            .orderBy("qid", "rank"))
+
+
+def g_phash_neardup(spark, sf_dir):
+    from solaris_spark.operators import joins
+    from solaris_spark.sources import synth
+    images = synth.images_table(spark, 64, include_fixture=False)
+    # plant near-dups: duplicate phashes with ≤2 flipped bits
+    dups = images.select(
+        F.concat(F.col("image_id"), F.lit("_dup")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(3)).alias("phash"))
+    allimg = images.select("image_id", "phash").unionByName(dups)
+    return (joins.phash_near_dup_join(allimg, max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
+def g_lineage_resume(spark, sf_dir):
+    import tempfile
+
+    from solaris_spark.plans import lineage
+    d = tempfile.mkdtemp(prefix="lineage_q_")
+    df = _load(spark, sf_dir, "nation")
+    s1 = lineage.run_resumable(
+        spark, df, "n_nationkey", 3, "qrun", f"{d}/out", f"{d}/log",
+        lambda part: part.select("n_nationkey", "n_name"))
+    s2 = lineage.run_resumable(
+        spark, df, "n_nationkey", 3, "qrun", f"{d}/out", f"{d}/log",
+        lambda part: part.select("n_nationkey", "n_name"))
+    return spark.createDataFrame(
+        [("first_processed", s1["processed"]), ("first_skipped", s1["skipped"]),
+         ("second_processed", s2["processed"]), ("second_skipped", s2["skipped"]),
+         ("rows_out", spark.read.parquet(f"{d}/out").count())],
+        "metric string, value long")
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_rollup": q_pricing_rollup,
+        "score_rollup": q_score_rollup,
+        "topk_per_group": q_topk_per_group,
+        "conf_cumsum": q_conf_cumsum,
+        "broadcast_lookup": q_broadcast_lookup,
+        "set_ops": q_set_ops,
+        "semi_anti": q_semi_anti,
+        "percentiles": q_percentiles,
+        "grouping_rollup": q_grouping_rollup,
+        "bounds_agg": q_bounds_agg,
+        "event_windows": q_event_windows,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_knn": q_embedding_knn,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "tile_pipeline": g_tile_pipeline,
+        "greedy_match": g_greedy_match,
+        "masks_fbc": g_masks,
+        "knn_spatial": g_knn_spatial,
+        "phash_neardup": g_phash_neardup,
+        "lineage_resume": g_lineage_resume,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_rollup": SQL_PRICING,
+        "score_rollup": SQL_SCORE,
+        "topk_per_group": SQL_TOPK,
+        "conf_cumsum": SQL_CUMSUM,
+        "broadcast_lookup": SQL_BROADCAST,
+        "set_ops": SQL_SETOPS,
+        "semi_anti": SQL_SEMIANTI,
+        "percentiles": SQL_PERCENTILES,
+        "grouping_rollup": SQL_ROLLUP,
+        "bounds_agg": SQL_BOUNDS,
+        "event_windows": SQL_EVENT_WINDOWS,
+        "dedup_exact": SQL_DEDUP,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "minhash_lsh": _sql_minhash(),
+        "simhash": SQL_SIMHASH,
+        "embedding_knn": SQL_EMB_KNN,
+        "lang_id": SQL_LANG_ID,
+        "quality_score": SQL_QUALITY,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "fingerprint": SQL_FINGERPRINT,
+        # geometry/pipeline entries intentionally omitted → rows-only check
+    }
