@@ -76,12 +76,21 @@ def image_masks(labels: DataFrame, images_geo: DataFrame,
                 channels=("footprint",), geom_col: str = "wkt_pix",
                 do_transform: bool = False,
                 boundary_width: int = 3, boundary_type: str = "inner",
-                contact_spacing: float = 10.0) -> DataFrame:
+                contact_spacing: float = 10.0,
+                num_partitions: int | None = None) -> DataFrame:
     """Per-image multichannel masks.  labels: (image_id, <geom_col>);
-    images_geo supplies (w, h) and, when do_transform, the affine."""
+    images_geo supplies (w, h) and, when do_transform, the affine.
+
+    num_partitions: explicit shuffle width for the groupBy.  IMPORTANT at
+    scale: the mask UDF is CPU-heavy but its INPUT rows are tiny (WKT
+    strings), so AQE's size-based partition coalescing would collapse the
+    stage to a handful of tasks and serialize the pixel work — a
+    user-specified repartition pins the parallelism (AQE leaves it alone)."""
     channels = list(channels)
     dims = images_geo.select("image_id", "w", "h", "a", "b", "c", "d", "e", "f")
     lab = labels.select("image_id", F.col(geom_col).alias("wkt")).join(dims, "image_id")
+    if num_partitions:
+        lab = lab.repartition(num_partitions, "image_id")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         r0 = pdf.iloc[0]

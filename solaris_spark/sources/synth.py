@@ -75,12 +75,13 @@ def _rng_for(seed: int, image_id: str) -> np.random.Generator:
     return np.random.default_rng(int.from_bytes(h[:8], "little"))
 
 
-def synth_image_row(seed: int, idx: int) -> dict:
+def synth_image_row(seed: int, idx: int, min_px: int = 64,
+                    max_px: int = 256) -> dict:
     """One deterministic image row (pure function — runs executor-side)."""
     image_id = f"img_{idx:012d}"
     rng = _rng_for(seed, image_id)
-    w = int(rng.integers(64, 257))
-    h = int(rng.integers(64, 257))
+    w = int(rng.integers(min_px, max_px + 1))
+    h = int(rng.integers(min_px, max_px + 1))
     # smooth-ish field so phash is meaningful: sum of separable gradients
     gx = rng.integers(0, 256, size=w, dtype=np.int32)
     gy = rng.integers(0, 256, size=h, dtype=np.int32)
@@ -101,11 +102,12 @@ def synth_image_row(seed: int, idx: int) -> dict:
     }
 
 
-def synth_labels_for(seed: int, image_id: str, w: int, h: int) -> list[str]:
+def synth_labels_for(seed: int, image_id: str, w: int, h: int,
+                     min_labels: int = 2, max_labels: int = 8) -> list[str]:
     """Deterministic convex-ish building polygons in pixel coords (2 dp),
     some near-adjacent (contact-mask work), some crossing tile borders."""
     rng = _rng_for(seed + 1, image_id)
-    n = int(rng.integers(2, 9))
+    n = int(rng.integers(min_labels, max_labels + 1))
     wkts = []
     for _ in range(n):
         cx = float(rng.uniform(0, w))
@@ -124,14 +126,16 @@ def synth_labels_for(seed: int, image_id: str, w: int, h: int) -> list[str]:
 
 def images_table(spark: SparkSession, n_images: int, seed: int = 42,
                  include_fixture: bool = True,
-                 partitions: int | None = None) -> DataFrame:
+                 partitions: int | None = None,
+                 min_px: int = 64, max_px: int = 256) -> DataFrame:
     """Distributed deterministic generation: spark.range → mapInPandas."""
     if partitions is None:
         partitions = max(4, min(256, n_images // 64 or 4))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [synth_image_row(seed, int(i)) for i in b["id"]]
+            rows = [synth_image_row(seed, int(i), min_px, max_px)
+                    for i in b["id"]]
             yield pd.DataFrame(rows)
 
     df = (spark.range(0, n_images, 1, partitions)
@@ -185,8 +189,8 @@ def image_geo_table(spark: SparkSession, images: DataFrame,
     return images.select("image_id").mapInPandas(geo, schema=GEO_SCHEMA)
 
 
-def labels_table(spark: SparkSession, images: DataFrame,
-                 seed: int = 42) -> DataFrame:
+def labels_table(spark: SparkSession, images: DataFrame, seed: int = 42,
+                 min_labels: int = 2, max_labels: int = 8) -> DataFrame:
     """Pixel-coordinate polygon labels per image. Fixture row mirrors
     sample.csv's PolygonWKT_Pix column (151 footprints)."""
 
@@ -202,7 +206,8 @@ def labels_table(spark: SparkSession, images: DataFrame,
                             out.append(dict(image_id=img_id, label_id=i,
                                             wkt_pix=r["PolygonWKT_Pix"]))
                 else:
-                    for i, wkt in enumerate(synth_labels_for(seed, img_id, w, h)):
+                    for i, wkt in enumerate(synth_labels_for(
+                            seed, img_id, w, h, min_labels, max_labels)):
                         out.append(dict(image_id=img_id, label_id=i, wkt_pix=wkt))
             yield pd.DataFrame(out)
 
