@@ -366,12 +366,10 @@ def q_dedup_exact(spark, sf_dir):
     mirror = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text") \
         .filter(F.col("doc_id") % 2 == 0)
     u = d.unionByName(mirror)
-    out = (u.groupBy(F.md5(F.col("text")).alias("content_hash"))
-           .agg(F.count(F.lit(1)).alias("n_copies"),
-                F.min("doc_id").alias("keeper"))
-           .filter(F.col("n_copies") > 1)
-           .orderBy("keeper"))
-    return out
+    from solaris_spark.operators import dedup
+    return (dedup.exact_dedup(u)
+            .filter(F.col("n_copies") > 1)
+            .orderBy("keeper"))
 
 
 SQL_DEDUP = """
@@ -391,28 +389,12 @@ _TRIGRAM_SPARK = ("array_distinct(transform(sequence(0, size(t)-3), "
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-trigram Jaccard near-dup pairs ≥ 0.4 — shingle-explode
-    equi-join (the relational skeleton under MinHash LSH)."""
+    equi-join (operators/dedup.ngram_jaccard_pairs)."""
+    from solaris_spark.operators import dedup
     d = _load(spark, sf_dir, "documents")
-    sh = (d.withColumn("t", F.split("text", " "))
-          .withColumn("s", F.explode(F.expr(_TRIGRAM_SPARK)))
-          .select("doc_id", "s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("da"),
-                      F.col("b.doc_id").alias("db"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    out = (pairs.join(sa, "da").join(sb, "db")
-           .withColumn("jaccard", F.round(
-               F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-           .filter(F.col("jaccard") >= 0.4)
-           .select("da", "db", "jaccard")
-           .orderBy("da", "db"))
-    return out
+    return (dedup.ngram_jaccard_pairs(d, threshold=0.4)
+            .withColumn("jaccard", F.round("jaccard", 6))
+            .orderBy("da", "db"))
 
 
 SQL_NGRAM_JACCARD = """
@@ -442,37 +424,10 @@ def q_minhash_lsh(spark, sf_dir):
     """MinHash + LSH near-dup: md5-derived hash family (identical in both
     engines), 16-hash signature, 4 bands → band-bucket join → candidate
     pairs.  Deterministic ⇒ SQL-oracle-able end to end."""
+    from solaris_spark.operators import dedup
     d = _load(spark, sf_dir, "documents")
-    sh = (d.withColumn("t", F.split("text", " "))
-          .withColumn("s", F.explode(F.expr(_TRIGRAM_SPARK)))
-          .select("doc_id", "s"))
-    # minhash_i(doc) = min over shingles of md5(i || shingle) first 8 hex
-    mh = sh.select(
-        "doc_id",
-        *[F.conv(F.substring(F.md5(F.concat(F.lit(str(i) + "|"), F.col("s"))),
-                             1, 8), 16, 10).cast("long").alias(f"h{i}")
-          for i in range(_N_HASHES)])
-    sig = mh.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_N_HASHES)])
-    bands = sig.select(
-        "doc_id",
-        *[F.concat_ws("_", *[F.col(f"m{b * 4 + j}").cast("string")
-                             for j in range(4)]).alias(f"band{b}")
-          for b in range(4)])
-    stacked = bands.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(4)
-        ])).alias("bucket"))
-    a = stacked.alias("a")
-    b_ = stacked.alias("b")
-    out = (a.join(b_, (F.col("a.bucket") == F.col("b.bucket"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-           .select(F.col("a.doc_id").alias("da"),
-                   F.col("b.doc_id").alias("db"))
-           .distinct()
-           .orderBy("da", "db"))
-    return out
+    return (dedup.minhash_lsh_pairs(d, n_hashes=_N_HASHES, bands=4)
+            .orderBy("da", "db"))
 
 
 def _sql_minhash() -> str:
@@ -511,24 +466,9 @@ ORDER BY da, db
 def q_simhash(spark, sf_dir):
     """32-bit SimHash per document from md5-derived token hashes —
     deterministic, SQL-oracle-able."""
+    from solaris_spark.operators import dedup
     d = _load(spark, sf_dir, "documents")
-    tok = (d.withColumn("tok", F.explode(F.split("text", " ")))
-           .select("doc_id", "tok")
-           .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
-                       .cast("long")))
-    bit = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"), "h")
-    bit = bit.withColumn(
-        "contrib",
-        F.when(F.expr("shiftrightunsigned(h, b) % 2") == 1, 1).otherwise(-1))
-    agg = bit.groupBy("doc_id", "b").agg(F.sum("contrib").alias("sumc"))
-    out = (agg.withColumn(
-        "bitval",
-        F.when(F.col("sumc") > 0, F.expr("shiftleft(1L, b)")).otherwise(0))
-        .groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
-        .orderBy("doc_id"))
-    return out
+    return dedup.simhash(d, bits=32).orderBy("doc_id")
 
 
 SQL_SIMHASH = """
@@ -590,22 +530,10 @@ def q_lang_id(spark, sf_dir):
     """Heuristic language ID: argmax stopword-hit ratio against a fixed
     lexicon (relational: token explode ⋈ broadcast lexicon ⋈ argmax)."""
     d = _load(spark, sf_dir, "documents")
-    lex = [("en", "the"), ("en", "a"), ("en", "data"), ("en", "value"),
-           ("de", "der"), ("de", "und"), ("fr", "le"), ("fr", "et"),
-           ("es", "el"), ("es", "y")]
-    lexdf = spark.createDataFrame(lex, "lang_guess string, word string")
-    tok = (d.withColumn("tok", F.explode(F.split("text", " ")))
-           .select("doc_id", "tok"))
-    ntok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    hits = (tok.join(F.broadcast(lexdf), tok.tok == lexdf.word)
-            .groupBy("doc_id", "lang_guess").agg(F.count(F.lit(1)).alias("hits")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang_guess"))
-    out = (hits.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-           .join(ntok, "doc_id")
-           .select("doc_id", "lang_guess", "hits",
-                   F.round(F.col("hits") / F.col("n"), 6).alias("hit_ratio"))
-           .orderBy("doc_id"))
-    return out
+    from solaris_spark.operators import text as textops
+    return (textops.lang_id(d)
+            .withColumn("hit_ratio", F.round("hit_ratio", 6))
+            .orderBy("doc_id"))
 
 
 SQL_LANG_ID = """
@@ -628,17 +556,12 @@ FROM best b JOIN ntok USING (doc_id) WHERE rk = 1 ORDER BY doc_id
 def q_quality_score(spark, sf_dir):
     """Text quality scoring: length / mean word length / stopword ratio."""
     d = _load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
-    out = (d.select(
-        "doc_id",
-        F.length("text").alias("n_chars_m"),
-        n_tok.alias("n_tokens"),
-        F.round((F.length("text") - n_tok + 1) / n_tok, 6).alias("mean_word_len"),
-        F.round(stop_hits / n_tok, 6).alias("stop_ratio"))
-        .filter((F.col("n_tokens") >= 10) & (F.col("mean_word_len") >= 2.0))
-        .orderBy("doc_id"))
+    from solaris_spark.operators import text as textops
+    out = (textops.quality_scores(d)
+           .filter((F.col("n_tokens") >= 10) & (F.col("mean_word_len") >= 2.0))
+           .withColumn("mean_word_len", F.round("mean_word_len", 6))
+           .withColumn("stop_ratio", F.round("stop_ratio", 6))
+           .orderBy("doc_id"))
     return out
 
 
@@ -661,14 +584,8 @@ ORDER BY doc_id
 def q_token_counts(spark, sf_dir):
     """Token counting rollup per source (whitespace tokenizer)."""
     d = _load(spark, sf_dir, "documents")
-    out = (d.withColumn("n_tokens", F.size(F.split("text", " ")))
-           .groupBy("source")
-           .agg(F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_tokens").alias("total_tokens"),
-                F.min("n_tokens").alias("min_tokens"),
-                F.max("n_tokens").alias("max_tokens"))
-           .orderBy("source"))
-    return out
+    from solaris_spark.operators import text as textops
+    return textops.token_counts(d).orderBy("source")
 
 
 SQL_TOKEN_COUNTS = """
@@ -684,14 +601,8 @@ def q_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 of the sorted distinct-token set (word-order
     independent content signature) + duplicate-group sizes."""
     d = _load(spark, sf_dir, "documents")
-    fp = F.md5(F.concat_ws(" ", F.array_sort(
-        F.array_distinct(F.split("text", " ")))))
-    out = (d.select("doc_id", fp.alias("fingerprint"))
-           .groupBy("fingerprint").agg(F.count(F.lit(1)).alias("group_size"),
-                                       F.min("doc_id").alias("first_doc"))
-           .filter(F.col("group_size") > 1)
-           .orderBy("first_doc"))
-    return out
+    from solaris_spark.operators import text as textops
+    return textops.fingerprint_groups(d).orderBy("first_doc")
 
 
 SQL_FINGERPRINT = """
@@ -814,6 +725,132 @@ def g_lineage_resume(spark, sf_dir):
         "metric string, value long")
 
 
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex token counting (operators/text.bpe_ish_token_counts)."""
+    from solaris_spark.operators import text as textops
+    d = _load(spark, sf_dir, "documents")
+    return textops.bpe_ish_token_counts(d).orderBy("doc_id")
+
+
+SQL_BPE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def g_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over the corpus + a mutated mirror (rows-only:
+    band-LSH candidate structure; simhash VALUES are oracled by `simhash`)."""
+    from solaris_spark.operators import dedup
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" extra")).alias("text"))
+    u = d.unionByName(mutated)
+    return (dedup.simhash_near_dup_pairs(u, max_hamming=3, bands=4)
+            .orderBy("da", "db"))
+
+
+def g_embedding_neardup(spark, sf_dir):
+    """SRP-LSH embedding near-dups (rows-only; approximate by design —
+    recall vs brute force asserted in tests/test_dedup_ann_text.py)."""
+    from solaris_spark.operators import dedup
+    e = _load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding")
+    twin = e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    u = base.unionByName(twin)
+    return (dedup.embedding_near_dup_pairs(u, threshold=0.999)
+            .withColumn("cosine", F.round("cosine", 6))
+            .orderBy("da", "db"))
+
+
+def g_ivf_knn(spark, sf_dir):
+    """IVF ANN over the embeddings table (rows-only; recall vs brute force
+    asserted in tests)."""
+    from solaris_spark.operators import ann
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    t = e.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("tv"))
+    return (ann.ivf_knn(q, t, k=3, n_cells=8, n_probe=3)
+            .withColumn("cosine", F.round("cosine", 6))
+            .orderBy("qid", "rank"))
+
+
+def g_image_features(spark, sf_dir):
+    """Multimodal decode + feature extraction over the synthetic image
+    table (rows-only)."""
+    from solaris_spark.operators import multimodal
+    from solaris_spark.sources import synth
+    images = synth.images_table(spark, 16, include_fixture=False)
+    feats = multimodal.image_features(images)
+    return feats.select("image_id",
+                        F.round(F.col("mean")[0], 4).alias("mean_c0"),
+                        F.round("edge_density", 4).alias("edge_density"),
+                        "phash").orderBy("image_id")
+
+
+def g_frame_sample(spark, sf_dir):
+    """Video frame sampling plumbing over deterministic fake videos
+    (rows-only)."""
+    import numpy as np
+
+    from solaris_spark.operators import multimodal
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        w, h, nf = 16, 12, 30
+        buf = rng.integers(0, 255, size=nf * w * h, dtype=np.uint8).tobytes()
+        rows.append((f"vid_{i}", bytearray(buf), w, h, nf))
+    vids = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, n_frames int")
+    frames = multimodal.sample_frames(vids, sample_every=10)
+    return frames.select("video_id", "frame_idx", "w", "h").orderBy(
+        "video_id", "frame_idx")
+
+
+def g_scot(spark, sf_dir):
+    """SCOT optimal-assignment tracking scores on a deterministic
+    multi-AOI scenario (rows-only — Hungarian assignment isn't SQL)."""
+    from solaris_spark.operators import scot as scotops
+    sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    sq2 = "POLYGON ((20 0, 30 0, 30 10, 20 10, 20 0))"
+    gt, pr = [], []
+    for aoi in ("a", "b"):
+        for ts in ("t1", "t2"):
+            gt += [(aoi, ts, 1, sq), (aoi, ts, 2, sq2)]
+            pr += [(aoi, ts, 1, sq)]
+        pr += [(aoi, "t2", 2, sq2)]
+    schema = "aoi string, timestep string, id long, wkt string"
+    out = scotops.scot_scores(spark.createDataFrame(gt, schema),
+                              spark.createDataFrame(pr, schema))
+    return out.select("aoi", "track_tp", "track_fp", "track_fn",
+                      F.round("track_score", 6).alias("track_score"),
+                      F.round("combo_score", 6).alias("combo_score"))         .orderBy("aoi")
+
+
+def g_pixel_metrics(spark, sf_dir):
+    """Tiled pixel IoU/F1/relaxed-F1 (rows-only; pinned-value parity in
+    tests/test_spark_pixel_scot.py)."""
+    import numpy as np
+
+    from solaris_spark.operators import pixelops
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(8):
+        t = (rng.random((64, 64)) > 0.6).astype(np.uint8)
+        p = (rng.random((64, 64)) > 0.6).astype(np.uint8)
+        rows.append((f"t{i}", bytearray(t.tobytes()), bytearray(p.tobytes()), 64, 64))
+    df = spark.createDataFrame(
+        rows, "group_id string, truth binary, prop binary, h int, w int")
+    s = pixelops.pixel_scores(pixelops.mask_pair_counts(df))
+    return s.select(F.round("pixel_iou", 6).alias("pixel_iou"),
+                    F.round("f1", 6).alias("f1"),
+                    F.round("relaxed_f1", 6).alias("relaxed_f1"))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -845,6 +882,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_spatial": g_knn_spatial,
         "phash_neardup": g_phash_neardup,
         "lineage_resume": g_lineage_resume,
+        "bpe_tokens": q_bpe_tokens,
+        "simhash_pairs": g_simhash_pairs,
+        "embedding_neardup": g_embedding_neardup,
+        "ivf_knn": g_ivf_knn,
+        "image_features": g_image_features,
+        "frame_sample": g_frame_sample,
+        "scot_tracking": g_scot,
+        "pixel_metrics": g_pixel_metrics,
     }
 
 
@@ -870,5 +915,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
+        "bpe_tokens": SQL_BPE,
         # geometry/pipeline entries intentionally omitted → rows-only check
     }

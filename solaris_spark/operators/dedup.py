@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All hash families are md5-derived (deterministic, reproducible in any
+engine — the DuckDB oracles in __spark_entry__ recompute them bit-for-bit).
+Everything below is shuffle-lean: shingle/band explosion followed by
+equi-joins; no crossJoin anywhere except the documented brute-force ANN
+baseline in ann.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# md5 hex → integer, identical in Spark and DuckDB
+def _md5_int(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _shingles(df: DataFrame, text_col: str, n: int = 3):
+    """Distinct word n-gram shingles exploded to (id cols…, s)."""
+    toks = F.split(F.col(text_col), " ")
+    expr = (f"array_distinct(transform(sequence(0, size(_t)-{n}), "
+            f"i -> concat_ws(' ', {', '.join(f'_t[i+{k}]' for k in range(n))})))")
+    return (df.withColumn("_t", toks)
+            .withColumn("s", F.explode(F.expr(expr)))
+            .drop("_t"))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per content hash with group size
+    and the keeper (min id).  O(1 shuffle) at any scale."""
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min(id_col).alias("keeper")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.4) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs ≥ threshold via shingle equi-join.
+    Cost ∝ Σ_shingle df(shingle)² — at web scale drop stop-shingles
+    (document frequency cap) before the self-join; exposed here as the
+    exact refine under MinHash candidates."""
+    sh = _shingles(docs.select(id_col, text_col), text_col, n) \
+        .select(F.col(id_col).alias("_id"), "s")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .groupBy(F.col("a._id").alias("da"), F.col("b._id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("_id").alias("da"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("_id").alias("db"), F.col("n_sh").alias("nb"))
+    return (pairs.join(sa, "da").join(sb, "db")
+            .withColumn("jaccard",
+                        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("da", "db", "jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per doc: min over shingles of h_i(s) where
+    h_i(s) = md5int(i || s) — n_hashes independent permutation proxies.
+    One shuffle (groupBy id)."""
+    sh = _shingles(docs.select(id_col, text_col), text_col, shingle_n)
+    hashed = sh.select(
+        id_col,
+        *[_md5_int(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
+          for i in range(n_hashes)])
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)])
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: signature → bands of r = n_hashes/bands
+    rows → bucket equi-join.  P[candidate] = 1 − (1 − j^r)^b — the classic
+    LSH S-curve; bands/r tune the threshold."""
+    r = n_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n)
+    band_cols = [
+        F.concat_ws("_", *[F.col(f"m{b * r + j}").cast("string")
+                           for j in range(r)]).alias(f"band{b}")
+        for b in range(bands)]
+    stacked = sig.select(id_col, *band_cols).select(
+        id_col,
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)
+        ])).alias("bucket"))
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    return (a.join(b_, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("da"),
+                    F.col(f"b.{id_col}").alias("db"))
+            .distinct())
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash per doc: sign of per-bit ±1 sums over token hashes.
+    Relational formulation (explode bits) — no UDF."""
+    tok = (docs.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+           .withColumn("h", _md5_int(F.col("tok"))))
+    bit = tok.select(id_col,
+                     F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+                     "h")
+    bit = bit.withColumn(
+        "contrib", F.when(F.expr("shiftrightunsigned(h, b) % 2") == 1, 1)
+        .otherwise(-1))
+    agg = bit.groupBy(id_col, "b").agg(F.sum("contrib").alias("sumc"))
+    return (agg.withColumn(
+        "bitval", F.when(F.col("sumc") > 0, F.expr("shiftleft(1L, b)"))
+        .otherwise(0))
+        .groupBy(id_col).agg(F.sum("bitval").alias("simhash")))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", bits: int = 32,
+                           max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """SimHash near-dup pairs via the same band-bucket trick as phash
+    (pigeonhole-complete for max_hamming ≤ bands − 1)."""
+    from .joins import hamming_col
+    sh = simhash(docs, id_col, text_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    stacked = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{i}:"),
+                     F.shiftrightunsigned(F.col("simhash"), i * width)
+                     .bitwiseAND(F.lit(mask)).cast("string"))
+            for i in range(bands)])).alias("bucket"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .withColumn("hamming", hamming_col(F.col("a.simhash"),
+                                               F.col("b.simhash")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col(f"a.{id_col}").alias("da"),
+                    F.col(f"b.{id_col}").alias("db"), "hamming")
+            .distinct())
+
+
+def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95,
+                             n_planes: int = 16,
+                             seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dups via random-hyperplane (SRP) LSH:
+    sign-sketch each vector against n_planes seeded hyperplanes (generated
+    deterministically from `seed` inside the expression), bucket on the
+    sketch, refine with exact cosine ≥ threshold."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    dim_probe = len(emb.select(vec_col).first()[0])
+    planes = rng.standard_normal((n_planes, dim_probe))
+    sketch_bits = []
+    for p in range(n_planes):
+        arr = "array(" + ",".join(f"{v!r}D" for v in planes[p]) + ")"
+        dot = (f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> "
+               f"CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)")
+        sketch_bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    sketch = F.expr("concat(" + ", ".join(sketch_bits) + ")")
+    s = emb.select(id_col, vec_col, sketch.alias("sketch"))
+    a, b = s.alias("a"), s.alias("b")
+    j = a.join(b, (F.col("a.sketch") == F.col("b.sketch"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    dot = F.expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> "
+                 "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    na = F.expr("sqrt(aggregate(a.embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))")
+    nb = F.expr("sqrt(aggregate(b.embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))")
+    return (j.withColumn("cosine", dot / (na * nb))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("da"),
+                    F.col(f"b.{id_col}").alias("db"), "cosine"))

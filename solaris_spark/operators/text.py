@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (whole-stage codegen; no Python UDFs) —
+the DuckDB oracles in __spark_entry__ replicate each formula exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+DEFAULT_LEXICON = [
+    ("en", "the"), ("en", "a"), ("en", "data"), ("en", "value"),
+    ("de", "der"), ("de", "und"), ("fr", "le"), ("fr", "et"),
+    ("es", "el"), ("es", "y"),
+]
+
+
+def lang_id(docs: DataFrame, lexicon=None, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-hit argmax against a per-language
+    lexicon (token explode ⋈ broadcast lexicon ⋈ window argmax)."""
+    spark = docs.sparkSession
+    lexdf = spark.createDataFrame(lexicon or DEFAULT_LEXICON,
+                                  "lang_guess string, word string")
+    tok = docs.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+    ntok = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    hits = (tok.join(F.broadcast(lexdf), tok.tok == lexdf.word)
+            .groupBy(id_col, "lang_guess").agg(F.count(F.lit(1)).alias("hits")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("lang_guess"))
+    return (hits.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+            .join(ntok, id_col)
+            .select(id_col, "lang_guess", "hits",
+                    (F.col("hits") / F.col("n")).alias("hit_ratio")))
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   stopwords=("the", "a", "and", "of")) -> DataFrame:
+    """Length / mean word length / stopword-ratio quality features."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    stops = list(stopwords)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        ((F.length(text_col) - n_tok + 1) / n_tok).alias("mean_word_len"),
+        (stop_hits / n_tok).alias("stop_ratio"))
+
+
+def token_counts(docs: DataFrame, group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace token counting rolled up per group."""
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    return (docs.withColumn("n_tokens", n_tok)
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("n_tokens").alias("min_tokens"),
+                 F.max("n_tokens").alias("max_tokens")))
+
+
+def bpe_ish_token_counts(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """BPE-ish token estimate: regex split on word boundaries + digit runs
+    (GPT-2-style pre-tokenizer shape, no merges) — the standard cheap
+    'how many tokens will this cost' estimator."""
+    pieces = F.expr(
+        rf"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)")
+    return docs.select(id_col, F.size(pieces).alias("bpe_ish_tokens"))
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set (catches shuffled near-copies that exact dedup misses)."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(
+        F.array_distinct(F.split(text_col, " ")))))
+    return docs.select(id_col, fp.alias("fingerprint"))
+
+
+def fingerprint_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    return (fingerprints(docs, id_col, text_col)
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.min(id_col).alias("first_doc"))
+            .filter(F.col("group_size") > 1))

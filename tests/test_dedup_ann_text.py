@@ -1,0 +1,150 @@
+"""Dedup / ANN / text / multimodal operator tests with brute-force oracles."""
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from solaris_spark.operators import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic corpus with planted near-dups: 40 base docs, 10 shuffled
+    copies, 5 exact copies."""
+    rng = np.random.default_rng(12)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(40):
+        toks = list(rng.choice(vocab, size=rng.integers(20, 60)))
+        rows.append((i, " ".join(toks), "base"))
+    for j in range(10):  # shuffled copy of doc j (same multiset)
+        toks = rows[j][1].split(" ")
+        rng.shuffle(toks)
+        rows.append((100 + j, " ".join(toks), "shuffle"))
+    for j in range(5):  # exact copy
+        rows.append((200 + j, rows[j][1], "copy"))
+    return spark.createDataFrame(rows, "doc_id long, text string, kind string")
+
+
+class TestDedup:
+    def test_exact_dedup_finds_planted_copies(self, spark, docs):
+        groups = dedup.exact_dedup(docs).filter(F.col("n_copies") > 1).collect()
+        assert len(groups) == 5
+        assert all(g["n_copies"] == 2 for g in groups)
+
+    def test_ngram_jaccard_exact_copies_have_j1(self, spark, docs):
+        pairs = {(r["da"], r["db"]): r["jaccard"] for r in
+                 dedup.ngram_jaccard_pairs(docs, threshold=0.99).collect()}
+        for j in range(5):
+            assert pairs.get((j, 200 + j)) == pytest.approx(1.0)
+
+    def test_minhash_lsh_superset_of_exact_copies(self, spark, docs):
+        cand = {(r["da"], r["db"]) for r in
+                dedup.minhash_lsh_pairs(docs).collect()}
+        for j in range(5):
+            assert (j, 200 + j) in cand  # identical signature → all bands match
+
+    def test_simhash_identical_for_copies(self, spark, docs):
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        for j in range(5):
+            assert sh[j] == sh[200 + j]
+        for j in range(10):  # shuffled copies: same token multiset → same hash
+            assert sh[j] == sh[100 + j]
+
+    def test_embedding_near_dup_recall(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((60, 16))
+        rows = [(i, [float(v) for v in base[i]]) for i in range(60)]
+        rows += [(1000 + i, [float(v) for v in base[i] * 1.0001])
+                 for i in range(20)]  # near-identical twins
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r["da"], r["db"]) for r in
+                 dedup.embedding_near_dup_pairs(e, threshold=0.999).collect()}
+        found = sum((i, 1000 + i) in pairs for i in range(20))
+        assert found == 20  # identical-direction twins share every SRP bucket
+
+
+class TestAnn:
+    def test_ivf_recall_vs_brute_force(self, spark):
+        rng = np.random.default_rng(8)
+        t = rng.standard_normal((300, 16))
+        tdf = spark.createDataFrame(
+            [(i, [float(v) for v in t[i]]) for i in range(300)],
+            "tid long, tv array<float>")
+        qdf = spark.createDataFrame(
+            [(i, [float(v) for v in t[i]]) for i in range(20)],
+            "qid long, qv array<float>")
+        exact = ann.brute_force_knn(qdf, tdf, k=5)
+        approx = ann.ivf_knn(qdf, tdf, k=5, n_cells=8, n_probe=4)
+        ex = {(r["qid"], r["tid"]) for r in exact.collect()}
+        ap = {(r["qid"], r["tid"]) for r in approx.collect()}
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.8, recall
+
+    def test_brute_force_self_neighbor_excluded(self, spark):
+        v = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]
+        t = spark.createDataFrame(v, "tid long, tv array<float>")
+        q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qv array<float>")
+        rows = ann.brute_force_knn(q, t, k=2).collect()
+        assert rows[0]["tid"] == 1  # nearest non-self
+
+
+class TestText:
+    def test_lang_id_deterministic_argmax(self, spark):
+        d = spark.createDataFrame(
+            [(1, "the data value the"), (2, "der und der"), (3, "le et le")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["lang_guess"] for r in text.lang_id(d).collect()}
+        assert out == {1: "en", 2: "de", 3: "fr"}
+
+    def test_quality_and_tokens(self, spark):
+        d = spark.createDataFrame([(1, "a bb ccc dddd", "s")],
+                                  "doc_id long, text string, source string")
+        q = text.quality_scores(d).collect()[0]
+        assert q["n_tokens"] == 4
+        assert q["mean_word_len"] == pytest.approx((13 - 4 + 1) / 4)
+        tc = text.token_counts(d).collect()[0]
+        assert tc["total_tokens"] == 4
+        bpe = text.bpe_ish_token_counts(d).collect()[0]
+        assert bpe["bpe_ish_tokens"] == 4
+
+    def test_fingerprint_order_insensitive(self, spark):
+        d = spark.createDataFrame([(1, "x y z"), (2, "z y x"), (3, "x y w")],
+                                  "doc_id long, text string")
+        fps = {r["doc_id"]: r["fingerprint"] for r in
+               text.fingerprints(d).collect()}
+        assert fps[1] == fps[2] != fps[3]
+
+
+class TestMultimodal:
+    def test_image_features_and_resize(self, spark):
+        from solaris_spark.sources import synth
+        images = synth.images_table(spark, 4, include_fixture=False)
+        feats = multimodal.image_features(images).collect()
+        assert len(feats) == 4 and all(len(f["mean"]) == 3 for f in feats)
+        small = multimodal.resize_images(images, 32, 32).collect()
+        assert all(r["w"] == 32 and r["h"] == 32 for r in small)
+        arr = np.frombuffer(small[0]["bytes"], dtype=np.uint8)
+        assert len(arr) == 3 * 32 * 32
+
+    def test_unknown_codec_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_any("png", b"\x89PNG", 4, 4)
+
+    def test_frame_sampling(self, spark):
+        buf = bytes(range(256)) * (4 * 4 * 20 // 256 + 1)
+        vids = spark.createDataFrame(
+            [("v", bytearray(buf[:4 * 4 * 20]), 4, 4, 20)],
+            "video_id string, bytes binary, w int, h int, n_frames int")
+        frames = multimodal.sample_frames(vids, sample_every=7).collect()
+        assert [f["frame_idx"] for f in frames] == [0, 7, 14]
+
+    def test_audio_features(self, spark):
+        sig = (np.sin(np.linspace(0, 40 * np.pi, 8000)) * 20000).astype("<i2")
+        clips = spark.createDataFrame(
+            [("c", bytearray(sig.tobytes()), 8000)],
+            "clip_id string, bytes binary, sample_rate int")
+        out = multimodal.audio_features(clips).collect()[0]
+        assert out["duration_sec"] == pytest.approx(1.0)
+        # 40 half-periods → 39 interior sign changes (endpoints exactly 0)
+        assert out["zero_crossings"] == 39
