@@ -1,0 +1,124 @@
+"""Road-graph construction: linestring labels → (nodes, edges) DataFrames.
+
+Re-expresses solaris/vector/graph.py (geojson_to_graph :143-255,
+linestring_to_edges :420-450, Edge.set_edge_weight :61-88,
+node dedup :327-331 / :445) GraphFrames-style:
+
+- nodes(node_id, x, y): every distinct linestring vertex, deduplicated by
+  EXACT quantized coordinate equality (the reference's `distance == 0`
+  match is exact-coordinate equality; quantization knob exposed for fuzzy
+  snapping);
+- edges(src, dst, weight, road_type, edge_id): consecutive vertex pairs,
+  weight = Euclidean length (optionally × normalize factor).
+
+The node-id assignment is deterministic (dense_rank over sorted coords) so
+re-runs and different cluster sizes produce identical graphs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, Window
+
+from ..functions import geom as G
+
+
+def _explode_vertices(roads: DataFrame, wkt_col: str, precision: int | None):
+    """roads(road_id, wkt, …) → one row per vertex with (road_id, seq, x, y).
+    MultiLineStrings explode into per-part sequences."""
+
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("part", T.IntegerType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ])))
+    def verts(wkt: pd.Series) -> pd.Series:
+        out = []
+        for w in wkt:
+            gtype, parts = G.wkt_parse(w)
+            lines = parts if gtype == "MULTILINESTRING" else [parts[0]] if parts else []
+            rows = []
+            for pi, ls in enumerate(lines):
+                for si, (x, y) in enumerate(ls):
+                    if precision is not None:
+                        x, y = round(float(x), precision), round(float(y), precision)
+                    rows.append((pi, si, float(x), float(y)))
+            out.append(rows)
+        return pd.Series(out)
+
+    return (roads.withColumn("_v", verts(F.col(wkt_col)))
+            .withColumn("_v", F.explode("_v"))
+            .select("*", F.col("_v.part").alias("part"),
+                    F.col("_v.seq").alias("seq"),
+                    F.col("_v.x").alias("x"), F.col("_v.y").alias("y"))
+            .drop("_v"))
+
+
+def build_graph(roads: DataFrame, wkt_col: str = "wkt",
+                road_id_col: str = "road_id",
+                type_col: str | None = None,
+                valid_road_types: list | None = None,
+                precision: int | None = None,
+                normalize_factor: float | None = None,
+                ) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges).  Filters by road type when given
+    (graph.py:399-403) and skips empty linestrings."""
+    r = roads
+    if type_col and valid_road_types:
+        r = r.filter(F.col(type_col).isin(valid_road_types))
+    r = r.filter(~F.upper(F.col(wkt_col)).contains("EMPTY"))
+
+    v = _explode_vertices(r, wkt_col, precision)
+    # deterministic node ids: dense_rank over (x, y)
+    distinct_nodes = v.select("x", "y").distinct()
+    w = Window.orderBy("x", "y")
+    nodes = distinct_nodes.withColumn(
+        "node_id", F.row_number().over(w).cast("long"))
+
+    v = v.join(nodes, ["x", "y"])
+    nxt = v.select(
+        F.col(road_id_col), "part", (F.col("seq") - 1).alias("seq"),
+        F.col("node_id").alias("dst"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"))
+    cur = v.select(road_id_col, "part", "seq",
+                   F.col("node_id").alias("src"),
+                   F.col("x").alias("x1"), F.col("y").alias("y1"),
+                   *( [F.col(type_col)] if type_col else [] ))
+    e = cur.join(nxt, [road_id_col, "part", "seq"])
+    weight = F.sqrt((F.col("x2") - F.col("x1")) ** 2
+                    + (F.col("y2") - F.col("y1")) ** 2)
+    if normalize_factor is not None:
+        weight = weight * F.lit(normalize_factor)
+    edges = e.select(
+        road_id_col, "src", "dst", weight.alias("weight"),
+        *( [F.col(type_col).alias("road_type")] if type_col else [] ))
+    return nodes.select("node_id", "x", "y"), edges
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Small-step label propagation (min-label flooding) — enough for road
+    QA queries ('how many disconnected subnetworks'); switch to GraphFrames
+    on a real cluster for large diameters."""
+    comp = nodes.select("node_id", F.col("node_id").alias("component"))
+    sym = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+           .unionByName(edges.select(F.col("dst").alias("a"),
+                                     F.col("src").alias("b"))).distinct())
+    for _ in range(max_iter):
+        neigh = (sym.join(comp, sym.a == comp.node_id)
+                 .groupBy("b").agg(F.min("component").alias("nc")))
+        new = (comp.join(neigh, comp.node_id == neigh.b, "left")
+               .select("node_id",
+                       F.least(F.col("component"),
+                               F.coalesce(F.col("nc"), F.col("component")))
+                       .alias("component")))
+        changed = (new.alias("n").join(comp.alias("c"), "node_id")
+                   .filter(F.col("n.component") != F.col("c.component")).count())
+        comp = new.persist()
+        comp.count()
+        if changed == 0:
+            break
+    return comp

@@ -1,0 +1,62 @@
+"""Graph operator tests — node dedup, edge weights, components
+(mirrors the intent of tests/test_vector/test_graph.py: isomorphism to a
+known graph; here structural equality against hand-built expectations)."""
+
+import math
+
+import pytest
+import pyspark.sql.functions as F
+
+from solaris_spark.operators import graph
+
+
+class TestBuildGraph:
+    def test_shared_vertex_dedup(self, spark):
+        """Two linestrings meeting at (1,1): shared node appears once."""
+        roads = spark.createDataFrame(
+            [(1, "LINESTRING (0 0, 1 1)", "primary"),
+             (2, "LINESTRING (1 1, 2 0)", "primary")],
+            "road_id long, wkt string, type string")
+        nodes, edges = graph.build_graph(roads, type_col="type")
+        assert nodes.count() == 3
+        e = edges.collect()
+        assert len(e) == 2
+        for r in e:
+            assert r["weight"] == pytest.approx(math.sqrt(2))
+
+    def test_road_type_filter_and_empty_skip(self, spark):
+        roads = spark.createDataFrame(
+            [(1, "LINESTRING (0 0, 1 0)", "primary"),
+             (2, "LINESTRING (0 1, 1 1)", "path"),
+             (3, "LINESTRING EMPTY", "primary")],
+            "road_id long, wkt string, type string")
+        nodes, edges = graph.build_graph(
+            roads, type_col="type", valid_road_types=["primary"])
+        assert edges.count() == 1
+        assert nodes.count() == 2
+
+    def test_multilinestring_parts(self, spark):
+        roads = spark.createDataFrame(
+            [(1, "MULTILINESTRING ((0 0, 1 0), (5 5, 6 5, 7 5))", "t")],
+            "road_id long, wkt string, type string")
+        nodes, edges = graph.build_graph(roads)
+        assert nodes.count() == 5
+        assert edges.count() == 3  # 1 + 2, no edge across parts
+
+    def test_normalize_factor(self, spark):
+        roads = spark.createDataFrame([(1, "LINESTRING (0 0, 3 4)")],
+                                      "road_id long, wkt string")
+        _, edges = graph.build_graph(roads, normalize_factor=2.0)
+        assert edges.collect()[0]["weight"] == pytest.approx(10.0)
+
+
+class TestComponents:
+    def test_two_components(self, spark):
+        roads = spark.createDataFrame(
+            [(1, "LINESTRING (0 0, 1 0, 2 0)"),
+             (2, "LINESTRING (10 10, 11 10)")],
+            "road_id long, wkt string")
+        nodes, edges = graph.build_graph(roads)
+        comp = graph.connected_components(nodes, edges)
+        n_comp = comp.select("component").distinct().count()
+        assert n_comp == 2
