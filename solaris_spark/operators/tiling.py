@@ -31,7 +31,8 @@ from ..functions import geom as G
 from ..functions import raster as R
 
 _DTYPES = {"raw-u8-c3": (np.uint8, 3), "raw-u16-c1": (np.uint16, 1),
-           "raw-u8-c1": (np.uint8, 1)}
+           "raw-u8-c1": (np.uint8, 1), "raw-i16-c3": (np.int16, 3),
+           "raw-f32-c1": (np.float32, 1)}
 
 
 def decode_image(fmt: str, buf: bytes, w: int, h: int) -> np.ndarray:

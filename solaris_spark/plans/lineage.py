@@ -79,7 +79,10 @@ def run_resumable(spark: SparkSession, inputs: DataFrame, key: str,
         back = spark.read.parquet(path)
         rows_out = back.count()
         if checksum_col is not None:
-            cs = back.agg(F.sum(F.xxhash64(F.col(checksum_col))).cast("string")
+            # decimal sum: ANSI mode (Spark 4 default) would overflow a
+            # long sum of xxhash64 values
+            cs = back.agg(F.sum(F.xxhash64(F.col(checksum_col))
+                                .cast("decimal(38,0)")).cast("string")
                           .alias("c")).collect()[0]["c"]
         else:
             cs = hashlib.sha256(f"{pid}:{rows_out}".encode()).hexdigest()[:16]

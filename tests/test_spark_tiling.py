@@ -99,3 +99,30 @@ class TestVectorTiling:
         lt = tiling.vector_tiles(lab, grid)
         empties = tiling.empty_tiles(grid, lt)
         assert empties.count() + lt.select("tile_id").distinct().count() == 100
+
+
+class TestCustomProjTiling:
+    def test_16_tiles_exact(self, spark):
+        """128x128 tiling of the 3-band int16 custom-proj fixture with
+        nodata -9999 — mirrors test_tile.py:55-72 (16 tiles, exact)."""
+        im = read_tiff(os.path.join(DATA, "sample_geotiff_custom_proj.tif"))
+        a, b, c, d, e, f = im.transform
+        images = spark.createDataFrame(
+            [("cp", bytearray(im.array.tobytes()), 512, 512, "raw-i16-c3",
+              None, None)],
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long")
+        geo = spark.createDataFrame(
+            [("cp", a, b, c, d, e, f, 9999, -9999.0)],
+            "image_id string, a double, b double, c double, d double, "
+            "e double, f double, epsg int, nodata double")
+        tiles = tiling.raster_tiles(tiling.with_geo(images, geo),
+                                    (128, 128)).collect()
+        assert len(tiles) == 16
+        exp_dir = os.path.join(DATA, "rastertile_test_custom_proj_expected")
+        for r in tiles:
+            name = r["tile_id"].replace("cp", "sample_geotiff_custom_proj") + ".tif"
+            g = read_tiff(os.path.join(exp_dir, name)).array
+            t = np.frombuffer(r["pixels"], dtype=np.int16).reshape(
+                r["nchan"], r["th"], r["tw"])
+            assert np.array_equal(t, g), name
