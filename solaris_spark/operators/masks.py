@@ -159,6 +159,51 @@ def road_masks(roads: DataFrame, images_geo: DataFrame,
     return rd.groupBy("image_id").applyInPandas(run, schema=MASK_SCHEMA)
 
 
+POLYGONIZE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("poly_id", T.IntegerType(), False),
+    T.StructField("wkt", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("area", T.DoubleType(), True),
+])
+
+
+def masks_to_polygons(masks_df: DataFrame, min_area: float = 40.0,
+                      do_transform: bool = False,
+                      images_geo: DataFrame | None = None,
+                      simplify_tol: float | None = None,
+                      channel: int = 0) -> DataFrame:
+    """mask_to_poly_geojson (solaris/vector/mask.py:718-818) as an operator:
+    per-mask connected-component polygonization (functions/polygonize.py),
+    min_area filter on the raw polygon, optional DP simplify.  Input rows:
+    MASK_SCHEMA (image_id, mask, h, w, nchan)."""
+    src = masks_df.select("image_id", "mask", "h", "w", "nchan")
+    if do_transform:
+        if images_geo is None:
+            raise ValueError("do_transform requires images_geo")
+        src = src.join(images_geo.select("image_id", "a", "b", "c",
+                                         "d", "e", "f"), "image_id")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import polygonize as P
+        rows = []
+        for _, r in pdf.iterrows():
+            arr = np.frombuffer(r["mask"], dtype=np.uint8).reshape(
+                int(r["h"]), int(r["w"]), int(r["nchan"]))[:, :, channel]
+            transform = ((r["a"], r["b"], r["c"], r["d"], r["e"], r["f"])
+                         if do_transform else None)
+            polys = P.mask_to_polygons(arr, min_area=min_area,
+                                       transform=transform,
+                                       simplify_tol=simplify_tol)
+            for i, (rings, val, area) in enumerate(polys):
+                rows.append(dict(image_id=r["image_id"], poly_id=i,
+                                 wkt=G.wkt_dump("POLYGON", rings),
+                                 value=val, area=area))
+        return pd.DataFrame(rows, columns=[f.name for f in POLYGONIZE_SCHEMA.fields])
+
+    return src.groupBy("image_id").applyInPandas(run, schema=POLYGONIZE_SCHEMA)
+
+
 INSTANCE_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType(), False),
     T.StructField("label_id", T.IntegerType(), False),
