@@ -851,6 +851,55 @@ def g_pixel_metrics(spark, sf_dir):
                     F.round("relaxed_f1", 6).alias("relaxed_f1"))
 
 
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events stream table (30-min gap):
+    lag + cumulative session counter per user — the batch equivalent of a
+    stateful streaming session window (SURVEY §2.9 disposition)."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    sess = (e.withColumn("new_sess",
+                         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("session_num",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    out = (sess.groupBy("user_id", "session_num")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                (F.max(F.col("ts").cast("timestamp").cast("long"))
+                 - F.min(F.col("ts").cast("timestamp").cast("long"))).alias("dur_sec"))
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+                F.max("dur_sec").alias("max_dur_sec"))
+           .orderBy("user_id"))
+    return out
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT) - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_num
+  FROM g),
+per AS (
+  SELECT user_id, session_num, COUNT(*) AS n_events,
+         CAST(MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS dur_sec
+  FROM s GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       MAX(dur_sec) AS max_dur_sec
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -867,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_rollup": q_grouping_rollup,
         "bounds_agg": q_bounds_agg,
         "event_windows": q_event_windows,
+        "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -906,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_rollup": SQL_ROLLUP,
         "bounds_agg": SQL_BOUNDS,
         "event_windows": SQL_EVENT_WINDOWS,
+        "sessionize": SQL_SESSIONIZE,
         "dedup_exact": SQL_DEDUP,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_lsh": _sql_minhash(),

@@ -273,6 +273,55 @@ def cut_window(src: np.ndarray, transform, bounds, tile_hw: tuple[int, int],
     return tile, tile_transform
 
 
+def warp_bilinear(src: np.ndarray, src_transform, src_epsg: int,
+                  dst_transform, dst_epsg: int, out_shape: tuple[int, int],
+                  nodata: float = 0.0) -> np.ndarray:
+    """Inverse-mapping bilinear reprojection (rasterio.warp.reproject's
+    default resampling — solaris/tile/raster_tile.py:350-387 path for
+    dest_crs ≠ src_crs).  For each dest pixel center: dest geo → src CRS
+    (4326↔UTM closed form) → src pixel coords → bilinear sample; samples
+    outside the source get `nodata`."""
+    from . import geom as G
+
+    C, H, W = src.shape
+    oh, ow = out_shape
+    cols, rows = np.meshgrid(np.arange(ow) + 0.5, np.arange(oh) + 0.5)
+    a, b, c, d, e, f = dst_transform
+    gx = a * cols + b * rows + c
+    gy = d * cols + e * rows + f
+    if src_epsg != dst_epsg:
+        if dst_epsg == 4326:
+            sx, sy = G.wgs84_to_utm(gx.ravel(), gy.ravel(), src_epsg)
+        elif src_epsg == 4326:
+            sx, sy = G.utm_to_wgs84(gx.ravel(), gy.ravel(), dst_epsg)
+        else:
+            lon, lat = G.utm_to_wgs84(gx.ravel(), gy.ravel(), dst_epsg)
+            sx, sy = G.wgs84_to_utm(lon, lat, src_epsg)
+        gx, gy = sx.reshape(oh, ow), sy.reshape(oh, ow)
+    ia, ib, ic, id_, ie, if_ = G.affine_invert(src_transform)
+    px = ia * gx + ib * gy + ic - 0.5   # src pixel-center coords
+    py = id_ * gx + ie * gy + if_ - 0.5
+    x0 = np.floor(px).astype(np.int64)
+    y0 = np.floor(py).astype(np.int64)
+    fx = px - x0
+    fy = py - y0
+    valid = (x0 >= 0) & (x0 + 1 <= W - 1) & (y0 >= 0) & (y0 + 1 <= H - 1)
+    x0c = np.clip(x0, 0, W - 2)
+    y0c = np.clip(y0, 0, H - 2)
+    out = np.full((C, oh, ow), nodata, dtype=np.float64)
+    for ch in range(C):
+        p00 = src[ch][y0c, x0c]
+        p01 = src[ch][y0c, x0c + 1]
+        p10 = src[ch][y0c + 1, x0c]
+        p11 = src[ch][y0c + 1, x0c + 1]
+        val = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
+               + p10 * (1 - fx) * fy + p11 * fx * fy)
+        out[ch] = np.where(valid, val, nodata)
+    if np.issubdtype(src.dtype, np.integer):
+        out = np.rint(out)
+    return out.astype(src.dtype)
+
+
 def nodata_fraction(tile: np.ndarray, nodata) -> float:
     """Fraction of pixels where ALL bands equal nodata —
     solaris/tile/raster_tile.py:195-196."""

@@ -166,6 +166,64 @@ def raster_tiles(images_geo: DataFrame, tile_size: tuple[int, int],
     return images_geo.select(*cols).mapInPandas(gen, schema=TILE_SCHEMA)
 
 
+def raster_tiles_warped(images_geo: DataFrame, tile_size: tuple[int, int],
+                        dest_epsg: int, dest_res: tuple[float, float],
+                        nodata_threshold: float | None = None) -> DataFrame:
+    """CRS-changing tiling (raster_tile.py:298-310 + :350-387): grid is laid
+    out in the DEST CRS over the image's reprojected bounds; each tile is
+    produced by inverse-mapping bilinear warp (raster.warp_bilinear).
+    Separate from raster_tiles so the identity-CRS fixture-parity path stays
+    byte-exact."""
+    ty_px, tx_px = tile_size
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = decode_image(row.fmt, row.bytes, row.w, row.h)
+                src_t = (row.a, row.b, row.c, row.d, row.e, row.f)
+                src_epsg = int(row.epsg)
+                # reproject the image corner ring to dest CRS for bounds
+                corners = np.array([
+                    [0.0, 0.0], [row.w, 0.0], [row.w, row.h], [0.0, row.h],
+                    [0.0, 0.0]])
+                geo = G.affine_apply(corners, src_t)
+                if src_epsg != dest_epsg:
+                    if dest_epsg == 4326:
+                        x, y = G.utm_to_wgs84(geo[:, 0], geo[:, 1], src_epsg)
+                    elif src_epsg == 4326:
+                        x, y = G.wgs84_to_utm(geo[:, 0], geo[:, 1], dest_epsg)
+                    else:
+                        lon, lat = G.utm_to_wgs84(geo[:, 0], geo[:, 1], src_epsg)
+                        x, y = G.wgs84_to_utm(lon, lat, dest_epsg)
+                    geo = np.stack([x, y], axis=1)
+                bounds = (geo[:, 0].min(), geo[:, 1].min(),
+                          geo[:, 0].max(), geo[:, 1].max())
+                tb = G.split_geom_bounds(bounds, (ty_px, tx_px),
+                                         resolution=dest_res)
+                nod = row.nodata if row.nodata is not None and not pd.isna(row.nodata) else 0
+                for t in tb:
+                    dst_t = (dest_res[0], 0.0, t[0], 0.0, -dest_res[1], t[3])
+                    tile = R.warp_bilinear(arr, src_t, src_epsg, dst_t,
+                                           dest_epsg, (ty_px, tx_px),
+                                           nodata=nod)
+                    nf = R.nodata_fraction(tile, nod)
+                    if nodata_threshold is not None and nf >= nodata_threshold:
+                        continue
+                    out.append(dict(
+                        tile_id=tile_name(row.image_id, t[0], t[3]),
+                        image_id=row.image_id, tx=0, ty=0,
+                        xmin=t[0], ymin=t[1], xmax=t[2], ymax=t[3],
+                        pixels=tile.tobytes(), th=ty_px, tw=tx_px,
+                        nchan=arr.shape[0], fmt=row.fmt,
+                        a=dest_res[0], e=-dest_res[1], nodata_frac=nf))
+            yield pd.DataFrame(out, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    cols = ["image_id", "bytes", "w", "h", "fmt",
+            "a", "b", "c", "d", "e", "f", "epsg", "nodata"]
+    return images_geo.select(*cols).mapInPandas(gen, schema=TILE_SCHEMA)
+
+
 LABEL_TILE_SCHEMA = T.StructType([
     T.StructField("tile_id", T.StringType(), False),
     T.StructField("image_id", T.StringType(), False),

@@ -29,6 +29,8 @@ def stream_images_from_files(spark: SparkSession, src_dir: str,
     name because raw payloads carry none; a real deployment reads sidecar
     JSON or embeds a header)."""
     raw = (spark.readStream.format("binaryFile")
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
            .option("pathGlobFilter", fmt_glob)
            .option("recursiveFileLookup", "true")
            .load(src_dir))
