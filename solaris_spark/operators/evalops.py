@@ -181,6 +181,192 @@ def aoi_rollup(image_scores_df: DataFrame, aoi_col: str = "aoi") -> DataFrame:
     return with_prf(agg)
 
 
+CLASS_IOU_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("side", T.StringType(), False),   # 'precision' | 'recall'
+    T.StructField("class", T.StringType(), False),
+    T.StructField("obj_idx", T.LongType(), False),
+    T.StructField("iou", T.DoubleType(), False),
+    T.StructField("conf", T.DoubleType(), True),
+])
+
+
+def class_matched_ious(gt: DataFrame, pred: DataFrame,
+                       classes: list[str] | None = None) -> DataFrame:
+    """Per-class IoU lists for precision/recall/mAP —
+    solaris/eval/vector.py:98-302 (precision_calc + recall_calc) exactly:
+
+    - precision pass: per image, classes iterated in order; each proposal of
+      the class takes its max-IoU candidate over the image's REMAINING gt
+      pool (all classes); if the argmax gt's class matches, the iou is
+      recorded (even below threshold) and the gt is consumed, else iou=0.
+    - recall pass: symmetric with a fresh proposal pool.
+    - classes defaults to the GLOBAL distinct gt classes, sorted (the
+      reference uses an unordered set — order only matters for cross-class
+      pool contention, rare in practice; sorted = deterministic).
+
+    gt: (image_id, row_id, wkt, class); pred adds conf.
+    """
+    if classes is None:
+        classes = sorted(r["class"] for r in
+                         gt.select("class").distinct().collect())
+
+    g = gt.select("image_id", "row_id", "wkt", "class",
+                  F.lit(None).cast("double").alias("conf"),
+                  F.lit("gt").alias("kind"))
+    p = pred.select("image_id", "row_id", "wkt", "class", "conf",
+                    F.lit("pred").alias("kind"))
+    both = g.unionByName(p)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id = pdf["image_id"].iloc[0]
+        gt_rows = pdf[pdf["kind"] == "gt"].sort_values("row_id")
+        pr_rows = pdf[pdf["kind"] == "pred"].sort_values("row_id")
+
+        def prep(rows):
+            rings = [G.polygon_rings(w) for w in rows["wkt"]]
+            areas = np.array([abs(sum(G.ring_signed_area(r) for r in rr))
+                              for rr in rings])
+            bbox = (np.array([[*np.vstack(r).min(0), *np.vstack(r).max(0)]
+                              for r in rings])
+                    if rings else np.empty((0, 4)))
+            return rings, areas, bbox
+
+        g_rings, g_areas, g_bbox = prep(gt_rows)
+        p_rings, p_areas, p_bbox = prep(pr_rows)
+        g_cls = list(gt_rows["class"])
+        p_cls = list(pr_rows["class"])
+        p_conf = list(pr_rows["conf"])
+
+        out = []
+
+        def one_pass(side, query_idx_by_class, q_rings, q_areas,
+                     q_cls_all, pool_rings, pool_areas, pool_bbox,
+                     pool_cls, confs):
+            alive = np.ones(len(pool_cls), dtype=bool)
+            counter = {c: 0 for c in classes}
+            for obj in classes:
+                for qi in query_idx_by_class.get(obj, []):
+                    conf = confs[qi] if confs is not None else None
+                    qb = np.vstack(q_rings[qi])
+                    qxmin, qymin = qb.min(0)
+                    qxmax, qymax = qb.max(0)
+                    cand = alive.copy()
+                    if len(pool_cls):
+                        cand &= ((pool_bbox[:, 0] <= qxmax)
+                                 & (pool_bbox[:, 2] >= qxmin)
+                                 & (pool_bbox[:, 1] <= qymax)
+                                 & (pool_bbox[:, 3] >= qymin))
+                    idxs = np.where(cand)[0]
+                    # intersects-candidates: keep those actually touching
+                    pairs = []
+                    for j in idxs:
+                        inter = G.polygon_intersection_area(q_rings[qi],
+                                                            pool_rings[j])
+                        if inter > 0 or _touches(q_rings[qi], pool_rings[j]):
+                            union = q_areas[qi] + pool_areas[j] - inter
+                            pairs.append((j, inter / union if union > 0 else 0.0))
+                    if not pairs:
+                        iou_val = 0.0
+                    else:
+                        best_j, best_iou = max(
+                            pairs, key=lambda t: (t[1], -t[0]))
+                        # first-max tie-break: pandas idxmax keeps lowest idx
+                        for j, v in pairs:
+                            if v == best_iou:
+                                best_j = j
+                                break
+                        if pool_cls[best_j] == obj:
+                            iou_val = best_iou
+                            alive[best_j] = False
+                        else:
+                            iou_val = 0.0
+                    out.append((image_id, side, obj, counter[obj],
+                                iou_val, conf))
+                    counter[obj] += 1
+
+        p_by_class = {}
+        for i, c in enumerate(p_cls):
+            p_by_class.setdefault(c, []).append(i)
+        g_by_class = {}
+        for i, c in enumerate(g_cls):
+            g_by_class.setdefault(c, []).append(i)
+
+        one_pass("precision", p_by_class, p_rings, p_areas, p_cls,
+                 g_rings, g_areas, g_bbox, g_cls, p_conf)
+        one_pass("recall", g_by_class, g_rings, g_areas, g_cls,
+                 p_rings, p_areas, p_bbox, p_cls, None)
+        return pd.DataFrame(out, columns=[f.name for f in
+                                          CLASS_IOU_SCHEMA.fields])
+
+    return both.groupBy("image_id").applyInPandas(run, schema=CLASS_IOU_SCHEMA)
+
+
+def _touches(rings_a, rings_b) -> bool:
+    """Boundary-touch test for the `.intersects` candidate semantics when the
+    interiors don't overlap (zero-area intersection still yields a candidate
+    with iou 0 in calculate_iou)."""
+    for ra in rings_a:
+        for rb in rings_b:
+            for i in range(len(ra) - 1):
+                for j in range(len(rb) - 1):
+                    if G.segments_intersect(
+                            (ra[i, 0], ra[i, 1]), (ra[i + 1, 0], ra[i + 1, 1]),
+                            (rb[j, 0], rb[j, 1]), (rb[j + 1, 0], rb[j + 1, 1])):
+                        return True
+    return False
+
+
+def class_scores(class_ious: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """precision/recall/F1 per class (average_score_by_class + mF1,
+    eval/vector.py:9-35, 306-395): score = mean(iou >= t) per class/side."""
+    per = (class_ious.groupBy("class", "side")
+           .agg(F.avg((F.col("iou") >= threshold).cast("double")).alias("score")))
+    pv = per.groupBy("class").pivot("side", ["precision", "recall"]) \
+        .agg(F.first("score"))
+    pv = pv.na.fill(0.0, ["precision", "recall"])
+    return pv.withColumn(
+        "f1",
+        F.when(F.col("precision") + F.col("recall") > 0,
+               2 * F.col("precision") * F.col("recall")
+               / (F.col("precision") + F.col("recall"))).otherwise(F.lit(0.0)))
+
+
+def mean_average_precision(class_ious: DataFrame,
+                           threshold: float = 0.5) -> dict:
+    """Interpolated per-class AP + mAP (eval/vector.py:469-513 exactly):
+    precision-side ious sorted desc by (conf, iou), cumulative TP/FP,
+    recall denominator = the class's gt count (recall-side rows), max
+    precision at 101 recall thresholds, averaged.  Window + crossJoin —
+    relational all the way; returns {'mAP': float, 'ap_by_class': {...}}."""
+    spark = class_ious.sparkSession
+    prec = class_ious.filter(F.col("side") == "precision")
+    ngt = (class_ious.filter(F.col("side") == "recall")
+           .groupBy("class").agg(F.count(F.lit(1)).alias("n_gt")))
+    w = Window.partitionBy("class").orderBy(
+        F.desc("conf"), F.desc("iou"), F.desc("obj_idx")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = (prec.withColumn("tp", (F.col("iou") >= threshold).cast("int"))
+           .withColumn("cum_tp", F.sum("tp").over(w))
+           .withColumn("cum_n", F.count(F.lit(1)).over(w))
+           .join(ngt, "class")
+           .withColumn("precision", F.col("cum_tp") / F.col("cum_n"))
+           .withColumn("recall", F.col("cum_tp") / F.col("n_gt")))
+    thresholds = spark.range(101).select((F.col("id") / 100.0).alias("rt"))
+    interp = (cum.crossJoin(F.broadcast(thresholds))
+              .filter(F.col("recall") >= F.col("rt"))
+              .groupBy("class", "rt").agg(F.max("precision").alias("pmax")))
+    # classes × thresholds with 0 fill for unreachable recalls
+    all_rt = ngt.select("class").crossJoin(F.broadcast(thresholds))
+    ap = (all_rt.join(interp, ["class", "rt"], "left")
+          .na.fill(0.0, ["pmax"])
+          .groupBy("class").agg(F.avg("pmax").alias("ap")))
+    rows = ap.collect()
+    ap_by_class = {r["class"]: r["ap"] for r in rows}
+    return {"mAP": float(np.mean(list(ap_by_class.values()))) if ap_by_class else 0.0,
+            "ap_by_class": ap_by_class}
+
+
 def average_precision(pairs: DataFrame, conf_col: str = "conf",
                       tp_col: str = "is_tp",
                       n_gt: int | None = None) -> DataFrame:
