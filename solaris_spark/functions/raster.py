@@ -62,44 +62,79 @@ def rasterize_rings(rings: list[np.ndarray], shape: tuple[int, int],
     if len(ex1f) == 0:
         return out
 
-    ymin = max(int(np.floor(ey1f.min() - 0.5)), 0)
-    ymax = min(int(np.ceil(ey2f.max() + 0.5)), h - 1)
-    if ymax < ymin:
-        return out
-
     slope = (ex2f - ex1f) / (ey2f - ey1f)
     # crossing direction for nonzero-winding fill (+1 edge pointed down in
     # pixel space pre-flip, -1 otherwise)
     esign = np.where(flip[nonh], -1, 1).astype(np.int64)
-    diff = np.zeros(w + 1, dtype=np.int64)
-    for row in range(ymin, ymax + 1):
-        dy = row + 0.5
-        sel = (dy >= ey1f) & (dy < ey2f)
-        if not sel.any():
-            continue
-        xs = ex1f[sel] + (dy - ey1f[sel]) * slope[sel]
-        if winding:
-            order = np.argsort(xs, kind="stable")
-            xs_s = xs[order]
-            run = np.cumsum(esign[sel][order])
-            covered = run != 0
-            # maximal covered intervals [xs_s[k], xs_s[k+1]) where run[k] != 0
-            starts = np.floor(xs_s[:-1][covered[:-1]] + 0.5).astype(np.int64)
-            ends = np.floor(xs_s[1:][covered[:-1]] + 0.5).astype(np.int64)
-        else:
-            xs.sort()
-            starts = np.floor(xs[0::2] + 0.5).astype(np.int64)
-            ends = np.floor(xs[1::2] + 0.5).astype(np.int64)
-        keep = (ends > starts) & (starts < w) & (ends > 0)
-        if not keep.any():
-            continue
-        starts = np.clip(starts[keep], 0, w)
-        ends = np.clip(ends[keep], 0, w)
-        diff[:] = 0
-        np.add.at(diff, starts, 1)
-        np.add.at(diff, ends, -1)
-        cov = np.cumsum(diff[:w]) > 0
-        out[row, cov] = value
+
+    # vectorized across ALL scanlines: for edge k the scanlines dy = r + 0.5
+    # with ey1 <= dy < ey2 are r in [ceil(ey1-0.5), ceil(ey2-0.5) - 1]
+    r0 = np.maximum(np.ceil(ey1f - 0.5), 0).astype(np.int64)
+    r1 = np.minimum(np.ceil(ey2f - 0.5) - 1, h - 1).astype(np.int64)
+    counts = np.maximum(r1 - r0 + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    eidx = np.repeat(np.arange(len(ex1f)), counts)
+    # per-repeat scanline row: r0[e] + offset within the edge's run
+    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    rows = r0[eidx] + offs
+    dys = rows + 0.5
+    xs = ex1f[eidx] + (dys - ey1f[eidx]) * slope[eidx]
+
+    order = np.lexsort((xs, rows))
+    rows_s = rows[order]
+    xs_s = xs[order]
+    # segment boundaries per row
+    newrow = np.empty(total, dtype=bool)
+    newrow[0] = True
+    newrow[1:] = rows_s[1:] != rows_s[:-1]
+    seg_start = np.where(newrow)[0]
+    pos_in_row = np.arange(total) - np.repeat(seg_start, np.diff(
+        np.append(seg_start, total)))
+
+    if winding:
+        sgn = esign[eidx][order]
+        csum = np.cumsum(sgn)
+        base = np.repeat(np.where(newrow, csum - sgn, 0)[seg_start], np.diff(
+            np.append(seg_start, total)))
+        run = csum - base
+        covered = (run != 0)
+        last_in_row = np.empty(total, dtype=bool)
+        last_in_row[:-1] = newrow[1:]
+        last_in_row[-1] = True
+        take = covered & ~last_in_row
+        starts = np.floor(xs_s[take] + 0.5).astype(np.int64)
+        # end x = next element in the same row (guaranteed since not last)
+        ends = np.floor(xs_s[np.where(take)[0] + 1] + 0.5).astype(np.int64)
+        srows = rows_s[take]
+    else:
+        even = (pos_in_row % 2) == 0
+        starts = np.floor(xs_s[even] + 0.5).astype(np.int64)
+        ends = np.floor(xs_s[~even] + 0.5).astype(np.int64)
+        srows = rows_s[even]
+
+    keep = (ends > starts) & (starts < w) & (ends > 0)
+    if not keep.any():
+        return out
+    starts = np.clip(starts[keep], 0, w)
+    ends = np.clip(ends[keep], 0, w)
+    srows = srows[keep]
+    # operate on the bbox window only — full-frame cumsum would dominate for
+    # small polygons on large rasters
+    rlo, rhi = int(srows.min()), int(srows.max())
+    clo = int(starts.min())
+    chi = min(int(ends.max()), w)
+    wh = rhi - rlo + 1
+    ww = chi - clo  # ends are exclusive → covered cols are clo..chi-1
+    starts = np.clip(starts - clo, 0, ww)
+    ends = np.clip(ends - clo, 0, ww)
+    diff = np.zeros(wh * (ww + 1), dtype=np.int32)
+    np.add.at(diff, (srows - rlo) * (ww + 1) + starts, 1)
+    np.add.at(diff, (srows - rlo) * (ww + 1) + ends, -1)
+    cov = np.cumsum(diff.reshape(wh, ww + 1), axis=1)[:, :ww] > 0
+    sub = out[rlo:rhi + 1, clo:chi]
+    sub[cov] = value
     return out
 
 
@@ -369,15 +404,15 @@ def phash64(img: np.ndarray) -> int:
     ys = (np.arange(32 + 1) * h / 32).astype(np.int64)
     xs = (np.arange(32 + 1) * w / 32).astype(np.int64)
     ys[-1], xs[-1] = h, w
-    small = np.empty((32, 32), dtype=np.float64)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
     csum[1:, 1:] = img.astype(np.float64).cumsum(0).cumsum(1)
-    for r in range(32):
-        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
-        for c in range(32):
-            x0, x1 = xs[c], max(xs[c + 1], xs[c] + 1)
-            s = csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
-            small[r, c] = s / ((y1 - y0) * (x1 - x0))
+    y0 = ys[:-1]
+    y1 = np.maximum(ys[1:], y0 + 1)
+    x0 = xs[:-1]
+    x1 = np.maximum(xs[1:], x0 + 1)
+    s = (csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)]
+         - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)])
+    small = s / np.outer(y1 - y0, x1 - x0)
     dct = _DCT32 @ small @ _DCT32.T
     block = dct[:8, :8].copy()
     vals = block.flatten()[1:]  # skip DC
