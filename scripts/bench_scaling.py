@@ -61,11 +61,14 @@ def run_at(cores: int) -> dict:
     # job B: greedy IoU matching join (compute-bound: polygon clipping on
     # cache-resident arrays — no memory-bandwidth ceiling)
     from solaris_spark.operators import evalops
+    join_max = int(os.environ.get("SCALE_JOIN_MAX_LABELS", "120"))
     pred_labels = synth.labels_table(spark, images, seed=1042,
                                      min_labels=MIN_LABELS,
-                                     max_labels=MAX_LABELS)
-    gt = labels.select("image_id", F.col("label_id").cast("long").alias("row_id"),
-                       F.col("wkt_pix").alias("wkt"))
+                                     max_labels=MAX_LABELS) \
+        .filter(F.col("label_id") < join_max)
+    gt = labels.filter(F.col("label_id") < join_max) \
+        .select("image_id", F.col("label_id").cast("long").alias("row_id"),
+                F.col("wkt_pix").alias("wkt"))
     pr = pred_labels.select("image_id",
                             F.col("label_id").cast("long").alias("row_id"),
                             F.col("wkt_pix").alias("wkt"),
@@ -102,8 +105,10 @@ def kernel_ceiling() -> dict:
         with mp.Pool(n) as p:
             p.map(_kernel_work, range(64))
         out[f"pool{n}_masks_per_sec"] = round(64 / (time.time() - t0), 2)
-    out["kernel_ceiling_efficiency"] = round(
-        out[f"pool{N_HI}_masks_per_sec"] / (4 * out[f"pool{N_LO}_masks_per_sec"]), 3)
+    eff = out[f"pool{N_HI}_masks_per_sec"] / (4 * out[f"pool{N_LO}_masks_per_sec"])
+    # shared-host noise can push the probe super-linear; the ceiling is a
+    # context number, cap at 1.0
+    out["kernel_ceiling_efficiency"] = round(min(eff, 1.0), 3)
     return out
 
 
