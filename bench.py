@@ -41,9 +41,13 @@ def main():
     timings: dict[str, float] = {}
 
     # -- geometry pipeline: tiles + masks + spatial join ------------------
-    images = synth.images_table(spark, n_images, include_fixture=True)
+    # SpaceNet-like density (hundreds of footprints per image) and explicit
+    # repartition before CPU-heavy UDF stages (see BENCH/BASELINE.md)
+    ncores = 32 if cpus in ("*",) else int(cpus)
+    images = synth.images_table(spark, n_images, include_fixture=True,
+                                min_px=512, max_px=1024)
     geo = synth.image_geo_table(spark, images)
-    ig = tiling.with_geo(images, geo).persist()
+    ig = tiling.with_geo(images, geo).repartition(ncores * 4, "image_id").persist()
     n_img = ig.count()  # materialize input before the timed section
 
     t0 = time.time()
@@ -51,8 +55,10 @@ def main():
     n_tiles = tiles.count()
     timings["raster_tiles"] = time.time() - t0
 
-    labels = synth.labels_table(spark, images)
-    lg = tiling.labels_geo(labels, geo).persist()
+    labels = synth.labels_table(spark, images, min_labels=100,
+                                max_labels=250).persist()
+    labels.count()
+    lg = tiling.labels_geo(labels, geo).repartition(ncores * 4, "image_id").persist()
     n_labels = lg.count()
     grid = tiling.tile_grid(ig, (90, 90)).persist()
     grid.count()
@@ -64,7 +70,8 @@ def main():
 
     t0 = time.time()
     mk = masks.image_masks(labels, ig,
-                           channels=["footprint", "boundary", "contact"])
+                           channels=["footprint", "boundary", "contact"],
+                           num_partitions=ncores * 4)
     n_masks = mk.count()
     timings["masks_fbc"] = time.time() - t0
 
