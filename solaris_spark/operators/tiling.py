@@ -83,13 +83,21 @@ def tile_name(base: str, xmin: float, ymax: float, metric: bool = True) -> str:
     return f"{base}_{np.round(xmin, 3)}_{np.round(ymax, 3)}"
 
 
-def _grid_for_image(a, e, c, f, w, h, tile_yx):
-    """Exact split_geom grid for one image's bounds (np.arange semantics)."""
+def _grid_for_image(a, e, c, f, w, h, tile_yx, aoi_rings=None):
+    """Exact split_geom grid for one image's bounds (np.arange semantics).
+    With aoi_rings: bounds = AOI∩image bbox and non-touching cells dropped
+    (split_geom's src_img intersection + is_empty filter)."""
     xmin, ymax = c, f
     xmax = c + w * a
     ymin = f + h * e  # e < 0
+    if aoi_rings is not None:
+        allc = np.vstack(aoi_rings)
+        xmin = max(xmin, float(allc[:, 0].min()))
+        xmax = min(xmax, float(allc[:, 0].max()))
+        ymin = max(ymin, float(allc[:, 1].min()))
+        ymax = min(ymax, float(allc[:, 1].max()))
     return G.split_geom_bounds((xmin, ymin, xmax, ymax), tile_yx,
-                               resolution=(a, -e))
+                               resolution=(a, -e), geometry_rings=aoi_rings)
 
 
 def with_geo(images: DataFrame, geo: DataFrame) -> DataFrame:
@@ -125,12 +133,16 @@ def tile_grid(images_geo: DataFrame, tile_size: tuple[int, int]) -> DataFrame:
 
 
 def raster_tiles(images_geo: DataFrame, tile_size: tuple[int, int],
-                 nodata_threshold: float | None = None) -> DataFrame:
+                 nodata_threshold: float | None = None,
+                 aoi_wkt: str | None = None) -> DataFrame:
     """Cut every image into fixed-size tiles (grid derived in-UDF; zero
     shuffle).  Mirrors RasterTiler.tile incl. boundless window fill with
-    nodata (raster_tile.py:332-348) and the nodata-fraction tile filter
-    (:189-204)."""
+    nodata (raster_tile.py:332-348), the nodata-fraction tile filter
+    (:189-204), and AOI restriction (:169-181: pixels outside the AOI
+    polygon become nodata — rasterio.mask semantics — and only
+    AOI-touching grid cells are kept)."""
     ty_px, tx_px = tile_size
+    aoi_rings = G.polygon_rings(aoi_wkt) if aoi_wkt else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -138,8 +150,17 @@ def raster_tiles(images_geo: DataFrame, tile_size: tuple[int, int],
             for row in pdf.itertuples(index=False):
                 arr = decode_image(row.fmt, row.bytes, row.w, row.h)
                 transform = (row.a, row.b, row.c, row.d, row.e, row.f)
+                if aoi_rings is not None:
+                    # zero out pixels whose centers fall outside the AOI
+                    inv = G.affine_invert(transform)
+                    rings_px = [G.affine_apply(r, inv) for r in aoi_rings]
+                    inside = R.rasterize_rings(rings_px, (row.h, row.w)) > 0
+                    nodv = row.nodata if row.nodata is not None and not pd.isna(row.nodata) else 0
+                    arr = np.where(inside[None], arr,
+                                   np.asarray(nodv, dtype=arr.dtype))
                 tb = _grid_for_image(row.a, row.e, row.c, row.f,
-                                     row.w, row.h, (ty_px, tx_px))
+                                     row.w, row.h, (ty_px, tx_px),
+                                     aoi_rings=aoi_rings)
                 xm = np.sort(np.unique(tb[:, 0]))
                 ymx = np.sort(np.unique(tb[:, 3]))
                 xi = {v: i for i, v in enumerate(xm)}
@@ -349,6 +370,36 @@ def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
         F.col("wkt_geo_clip").alias("wkt_geo"),
         F.lit(None).cast("string").alias("wkt_tile_pix"),
         "origarea", "clip_area", "partialDec", "truncated")
+
+
+def fill_nodata(tiles: DataFrame, fill_values: DataFrame) -> DataFrame:
+    """Replace nodata pixels in each tile with the image's per-channel fill
+    values (geojsons_to_masks_and_fill_nodata, vector/mask.py:979-1060:
+    fill = channel-wise means from raster_tile.py:479-483)."""
+    t = tiles.join(fill_values, "image_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                dt = {"raw-u16-c1": np.uint16, "raw-i16-c3": np.int16}.get(
+                    r.fmt, np.uint8)
+                arr = np.frombuffer(r.pixels, dtype=dt).reshape(
+                    r.nchan, r.th, r.tw).copy()
+                nod = getattr(r, "nodata", 0) or 0
+                for ch in range(r.nchan):
+                    fv = r.fill_values[ch] if ch < len(r.fill_values) else 0.0
+                    band = arr[ch]
+                    band[band == nod] = np.asarray(fv, dtype=arr.dtype)
+                out.append(dict(tile_id=r.tile_id, image_id=r.image_id,
+                                tx=r.tx, ty=r.ty, xmin=r.xmin, ymin=r.ymin,
+                                xmax=r.xmax, ymax=r.ymax,
+                                pixels=arr.tobytes(), th=r.th, tw=r.tw,
+                                nchan=r.nchan, fmt=r.fmt, a=r.a, e=r.e,
+                                nodata_frac=0.0))
+            yield pd.DataFrame(out, columns=[f.name for f in TILE_SCHEMA.fields])
+
+    return t.mapInPandas(run, schema=TILE_SCHEMA)
 
 
 def empty_tiles(grid: DataFrame, label_tiles: DataFrame) -> DataFrame:

@@ -126,3 +126,43 @@ class TestCustomProjTiling:
             t = np.frombuffer(r["pixels"], dtype=np.int16).reshape(
                 r["nchan"], r["th"], r["tw"])
             assert np.array_equal(t, g), name
+
+
+class TestAoiAndFill:
+    def test_aoi_restricted_tiling(self, spark, fixture_ig):
+        """AOI restriction: grid limited to AOI-touching cells; pixels
+        outside the AOI zeroed (raster_tile.py:169-181 semantics)."""
+        # AOI = left half of the fixture extent
+        aoi = ("POLYGON ((733601 3724689, 733826 3724689, 733826 3725139, "
+               "733601 3725139, 733601 3724689))")
+        tiles = tiling.raster_tiles(fixture_ig, (90, 90), aoi_wkt=aoi).collect()
+        assert 50 <= len(tiles) <= 60  # 5 cols x 10 rows (+ boundary-touch col)
+        src = read_tiff(os.path.join(DATA, "sample_geotiff.tif")).array
+        for r in tiles:
+            t = np.frombuffer(r["pixels"], dtype=np.uint16).reshape(
+                r["nchan"], r["th"], r["tw"])
+            if r["xmin"] < 733826 and r["xmax"] <= 733826:
+                col0 = int((r["xmin"] - 733601) / 0.5)
+                row0 = int((3725139 - r["ymax"]) / 0.5)
+                assert np.array_equal(t[0], src[0, row0:row0+90, col0:col0+90])
+
+    def test_fill_nodata(self, spark):
+        """nodata pixels replaced by the image's channel means."""
+        from solaris_spark.operators import imageops
+        px = np.full((1, 90, 90), 7, dtype=np.uint8)
+        px[0, :10, :10] = 0  # nodata region
+        images = spark.createDataFrame(
+            [("f", bytearray(px.tobytes()), 90, 90, "raw-u8-c1", None, None)],
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long")
+        geo = spark.createDataFrame(
+            [("f", 0.5, 0.0, 0.0, 0.0, -0.5, 45.0, 32616, 0.0)],
+            "image_id string, a double, b double, c double, d double, "
+            "e double, f double, epsg int, nodata double")
+        ig = tiling.with_geo(images, geo)
+        tiles = tiling.raster_tiles(ig, (90, 90))
+        fv = imageops.channel_fill_values(images)
+        filled = tiling.fill_nodata(tiles, fv).collect()[0]
+        arr = np.frombuffer(filled["pixels"], dtype=np.uint8).reshape(90, 90)
+        assert (arr != 0).all()
+        assert arr[0, 0] == int(np.mean(px))  # truncation to uint8
