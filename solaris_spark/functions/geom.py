@@ -430,6 +430,43 @@ def _fan_triangles(rings: list[np.ndarray], origin):
     return tris
 
 
+def fan_decompose(rings: list[np.ndarray], origin) -> list:
+    """Precompute the signed fan-triangle decomposition of a polygon in a
+    caller-chosen local frame — reuse across many intersection-area calls
+    (the greedy/SCOT joins evaluate each polygon against many partners).
+    Returns [(sign, xs(3,), ys(3,), bbox(4,)), ...]."""
+    shift = np.asarray(origin, dtype=np.float64)
+    tris = _fan_triangles([r - shift for r in rings], (0.0, 0.0))
+    out = []
+    for s, xs, ys in tris:
+        out.append((s, xs, ys,
+                    (xs.min(), ys.min(), xs.max(), ys.max())))
+    return out
+
+
+def tri_intersection_area(tris_a: list, tris_b: list) -> float:
+    """area(A∩B) from two fan_decompose results sharing the SAME origin."""
+    total = 0.0
+    for sa, axs, ays, (axmin, aymin, axmax, aymax) in tris_a:
+        if _tri_area2(axs[0], ays[0], axs[1], ays[1], axs[2], ays[2]) < 0:
+            cxs, cys = axs[::-1], ays[::-1]
+        else:
+            cxs, cys = axs, ays
+        for sb, bxs, bys, (bxmin, bymin, bxmax, bymax) in tris_b:
+            if bxmin > axmax or bxmax < axmin or bymin > aymax or bymax < aymin:
+                continue
+            pts = _clip_convex(list(zip(bxs, bys)), cxs, cys)
+            if len(pts) < 3:
+                continue
+            area = 0.0
+            x0, y0 = pts[0]
+            for k in range(1, len(pts) - 1):
+                area += _tri_area2(x0, y0, pts[k][0], pts[k][1],
+                                   pts[k + 1][0], pts[k + 1][1])
+            total += sa * sb * abs(0.5 * area)
+    return abs(total)
+
+
 def polygon_intersection_area(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> float:
     """Exact-to-float area of A ∩ B for simple polygons (holes supported)."""
     if not rings_a or not rings_b:

@@ -77,6 +77,17 @@ def _greedy_match_group(pdf: pd.DataFrame, miniou: float, min_area: float) -> pd
     out_pred_iou = np.zeros(len(pred_ids))
     out_pred_match = np.full(len(pred_ids), -1, dtype=np.int64)
 
+    # one shared local frame per image group: fan decompositions computed
+    # ONCE per polygon and reused across every candidate pair (coords stay
+    # small, so the cancellation-safety of the per-pair shift is preserved)
+    if len(gt_rings) or len(pred_rings):
+        allc = np.vstack([np.vstack(r) for r in (gt_rings + pred_rings) if r])
+        origin = (float(allc[:, 0].mean()), float(allc[:, 1].mean()))
+    else:
+        origin = (0.0, 0.0)
+    gt_tris = [G.fan_decompose(r, origin) if r else [] for r in gt_rings]
+    pred_tris = [G.fan_decompose(r, origin) if r else [] for r in pred_rings]
+
     for i, rings in enumerate(pred_rings):
         if pred_areas[i] <= 0 or not len(gt_ids):
             continue
@@ -90,7 +101,7 @@ def _greedy_match_group(pdf: pd.DataFrame, miniou: float, min_area: float) -> pd
             continue
         best_iou, best_j = -1.0, -1
         for j in idxs:
-            inter = G.polygon_intersection_area(rings, gt_rings[j])
+            inter = G.tri_intersection_area(pred_tris[i], gt_tris[j])
             union = pred_areas[i] + gt_areas[j] - inter
             iou = inter / union if union > 0 else 0.0
             if iou > best_iou:  # strict > keeps FIRST max (idxmax semantics)
