@@ -445,26 +445,98 @@ def fan_decompose(rings: list[np.ndarray], origin) -> list:
 
 
 def tri_intersection_area(tris_a: list, tris_b: list) -> float:
-    """area(A∩B) from two fan_decompose results sharing the SAME origin."""
-    total = 0.0
-    for sa, axs, ays, (axmin, aymin, axmax, aymax) in tris_a:
-        if _tri_area2(axs[0], ays[0], axs[1], ays[1], axs[2], ays[2]) < 0:
-            cxs, cys = axs[::-1], ays[::-1]
-        else:
-            cxs, cys = axs, ays
-        for sb, bxs, bys, (bxmin, bymin, bxmax, bymax) in tris_b:
-            if bxmin > axmax or bxmax < axmin or bymin > aymax or bymax < aymin:
-                continue
-            pts = _clip_convex(list(zip(bxs, bys)), cxs, cys)
-            if len(pts) < 3:
-                continue
-            area = 0.0
-            x0, y0 = pts[0]
-            for k in range(1, len(pts) - 1):
-                area += _tri_area2(x0, y0, pts[k][0], pts[k][1],
-                                   pts[k + 1][0], pts[k + 1][1])
-            total += sa * sb * abs(0.5 * area)
-    return abs(total)
+    """area(A∩B) from two fan_decompose results sharing the SAME origin.
+    Dispatches to the batched numpy kernel (identical arithmetic to the
+    scalar Sutherland–Hodgman, vectorized over all triangle pairs)."""
+    if not tris_a or not tris_b:
+        return 0.0
+    return _tri_intersection_area_batch(tris_a, tris_b)
+
+
+def _pack_tris(tris):
+    n = len(tris)
+    V = np.empty((n, 3, 2))
+    S = np.empty(n)
+    B = np.empty((n, 4))
+    for i, (s, xs, ys, bb) in enumerate(tris):
+        V[i, :, 0] = xs
+        V[i, :, 1] = ys
+        S[i] = s
+        B[i] = bb
+    return V, S, B
+
+
+def _tri_intersection_area_batch(tris_a: list, tris_b: list) -> float:
+    """ΣΣ s_i s_j area(T_i ∩ T_j) with every pair clipped simultaneously."""
+    VA, SA, BA = _pack_tris(tris_a)
+    VB, SB, BB = _pack_tris(tris_b)
+    # bbox-overlapping pairs only
+    ov = ~((BB[None, :, 0] > BA[:, None, 2]) | (BB[None, :, 2] < BA[:, None, 0])
+           | (BB[None, :, 1] > BA[:, None, 3]) | (BB[None, :, 3] < BA[:, None, 1]))
+    ai, bi = np.nonzero(ov)
+    if len(ai) == 0:
+        return 0.0
+    # CCW-orient the clip triangles (A); subject = B
+    a = VA[ai]  # (K, 3, 2)
+    cw = ((a[:, 1, 0] - a[:, 0, 0]) * (a[:, 2, 1] - a[:, 0, 1])
+          - (a[:, 1, 1] - a[:, 0, 1]) * (a[:, 2, 0] - a[:, 0, 0])) < 0
+    a[cw] = a[cw, ::-1]
+    subj = VB[bi]  # (K, 3, 2)
+    K = len(ai)
+    M = 3
+    P = subj
+    cnt = np.full(K, 3, dtype=np.int64)
+    for e in range(3):
+        p1 = a[:, e]
+        p2 = a[:, (e + 1) % 3]
+        nx = (p1[:, 1] - p2[:, 1])[:, None]
+        ny = (p2[:, 0] - p1[:, 0])[:, None]
+        d = nx * (P[:, :, 0] - p1[:, 0:1]) + ny * (P[:, :, 1] - p1[:, 1:2])
+        idx = np.arange(M)
+        valid = idx[None, :] < cnt[:, None]
+        prev_idx = (idx[None, :] - 1) % np.maximum(cnt[:, None], 1)
+        rowix = np.arange(K)[:, None]
+        dp = d[rowix, prev_idx]
+        Pprev = P[rowix, prev_idx]
+        cur_in = d >= 0
+        prev_in = dp >= 0
+        # emit slots: slot 2k = intersection (when sign change), 2k+1 = cur
+        emit_i = valid & (cur_in != prev_in)
+        emit_c = valid & cur_in
+        denom = np.where(dp - d == 0.0, 1.0, dp - d)
+        t = dp / denom
+        Ix = Pprev[:, :, 0] + t * (P[:, :, 0] - Pprev[:, :, 0])
+        Iy = Pprev[:, :, 1] + t * (P[:, :, 1] - Pprev[:, :, 1])
+        outx = np.empty((K, 2 * M))
+        outy = np.empty((K, 2 * M))
+        outx[:, 0::2] = Ix
+        outy[:, 0::2] = Iy
+        outx[:, 1::2] = P[:, :, 0]
+        outy[:, 1::2] = P[:, :, 1]
+        emit = np.empty((K, 2 * M), dtype=bool)
+        emit[:, 0::2] = emit_i
+        emit[:, 1::2] = emit_c
+        newcnt = emit.sum(axis=1)
+        Mn = min(int(newcnt.max()) if K else 0, 2 * M)
+        # stable compaction: order valid-emits first
+        order = np.argsort(~emit, axis=1, kind="stable")[:, :Mn]
+        P = np.stack([np.take_along_axis(outx, order, 1),
+                      np.take_along_axis(outy, order, 1)], axis=2)
+        cnt = newcnt
+        M = Mn
+        if M < 3:
+            return 0.0
+    # fan areas from vertex 0 over valid vertices
+    idx = np.arange(M)
+    v0 = P[:, 0:1, :]
+    e1 = P[:, 1:M - 1, :] - v0
+    e2 = P[:, 2:M, :] - v0
+    cross = e1[:, :, 0] * e2[:, :, 1] - e1[:, :, 1] * e2[:, :, 0]
+    kmax = np.maximum(cnt - 2, 0)  # valid fan triangles per row
+    mask = (np.arange(M - 2)[None, :] < kmax[:, None])
+    areas = np.abs(0.5 * (cross * mask).sum(axis=1))
+    areas[cnt < 3] = 0.0
+    return float(np.abs((SA[ai] * SB[bi] * areas).sum()))
 
 
 def polygon_intersection_area(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> float:

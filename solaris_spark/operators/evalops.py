@@ -234,6 +234,13 @@ def class_matched_ious(gt: DataFrame, pred: DataFrame,
         gt_rows = pdf[pdf["kind"] == "gt"].sort_values("row_id")
         pr_rows = pdf[pdf["kind"] == "pred"].sort_values("row_id")
 
+        allw = list(gt_rows["wkt"]) + list(pr_rows["wkt"])
+        if allw:
+            allc = np.vstack([np.vstack(G.polygon_rings(w)) for w in allw])
+            origin = (float(allc[:, 0].mean()), float(allc[:, 1].mean()))
+        else:
+            origin = (0.0, 0.0)
+
         def prep(rows):
             rings = [G.polygon_rings(w) for w in rows["wkt"]]
             areas = np.array([abs(sum(G.ring_signed_area(r) for r in rr))
@@ -241,19 +248,20 @@ def class_matched_ious(gt: DataFrame, pred: DataFrame,
             bbox = (np.array([[*np.vstack(r).min(0), *np.vstack(r).max(0)]
                               for r in rings])
                     if rings else np.empty((0, 4)))
-            return rings, areas, bbox
+            tris = [G.fan_decompose(r, origin) for r in rings]
+            return rings, areas, bbox, tris
 
-        g_rings, g_areas, g_bbox = prep(gt_rows)
-        p_rings, p_areas, p_bbox = prep(pr_rows)
+        g_rings, g_areas, g_bbox, g_tris = prep(gt_rows)
+        p_rings, p_areas, p_bbox, p_tris = prep(pr_rows)
         g_cls = list(gt_rows["class"])
         p_cls = list(pr_rows["class"])
         p_conf = list(pr_rows["conf"])
 
         out = []
 
-        def one_pass(side, query_idx_by_class, q_rings, q_areas,
+        def one_pass(side, query_idx_by_class, q_rings, q_areas, q_tris,
                      q_cls_all, pool_rings, pool_areas, pool_bbox,
-                     pool_cls, confs):
+                     pool_tris, pool_cls, confs):
             alive = np.ones(len(pool_cls), dtype=bool)
             counter = {c: 0 for c in classes}
             for obj in classes:
@@ -272,8 +280,8 @@ def class_matched_ious(gt: DataFrame, pred: DataFrame,
                     # intersects-candidates: keep those actually touching
                     pairs = []
                     for j in idxs:
-                        inter = G.polygon_intersection_area(q_rings[qi],
-                                                            pool_rings[j])
+                        inter = G.tri_intersection_area(q_tris[qi],
+                                                        pool_tris[j])
                         if inter > 0 or _touches(q_rings[qi], pool_rings[j]):
                             union = q_areas[qi] + pool_areas[j] - inter
                             pairs.append((j, inter / union if union > 0 else 0.0))
@@ -303,10 +311,10 @@ def class_matched_ious(gt: DataFrame, pred: DataFrame,
         for i, c in enumerate(g_cls):
             g_by_class.setdefault(c, []).append(i)
 
-        one_pass("precision", p_by_class, p_rings, p_areas, p_cls,
-                 g_rings, g_areas, g_bbox, g_cls, p_conf)
-        one_pass("recall", g_by_class, g_rings, g_areas, g_cls,
-                 p_rings, p_areas, p_bbox, p_cls, None)
+        one_pass("precision", p_by_class, p_rings, p_areas, p_tris, p_cls,
+                 g_rings, g_areas, g_bbox, g_tris, g_cls, p_conf)
+        one_pass("recall", g_by_class, g_rings, g_areas, g_tris, g_cls,
+                 p_rings, p_areas, p_bbox, p_tris, p_cls, None)
         return pd.DataFrame(out, columns=[f.name for f in
                                           CLASS_IOU_SCHEMA.fields])
 

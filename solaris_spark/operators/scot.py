@@ -54,6 +54,11 @@ def match_footprints_np(grnd: pd.DataFrame, prop: pd.DataFrame,
     g_bb = np.array([[*np.vstack(r).min(0), *np.vstack(r).max(0)] for r in g_rings])
     p_bb = np.array([[*np.vstack(r).min(0), *np.vstack(r).max(0)] for r in p_rings])
 
+    allc = np.vstack([g_bb[:, :2], p_bb[:, :2]])
+    origin = (float(allc[:, 0].mean()), float(allc[:, 1].mean()))
+    g_tris = [G.fan_decompose(r, origin) for r in g_rings]
+    p_tris = [G.fan_decompose(r, origin) for r in p_rings]
+
     reward = np.zeros((len(g_ids), len(p_ids)))
     iou_arr = np.zeros_like(reward)
     g_row_ids = list(grnd["id"])
@@ -63,7 +68,7 @@ def match_footprints_np(grnd: pd.DataFrame, prop: pd.DataFrame,
             if (g_bb[i, 0] > p_bb[j, 2] or p_bb[j, 0] > g_bb[i, 2]
                     or g_bb[i, 1] > p_bb[j, 3] or p_bb[j, 1] > g_bb[i, 3]):
                 continue
-            inter = G.polygon_intersection_area(g_rings[i], p_rings[j])
+            inter = G.tri_intersection_area(g_tris[i], p_tris[j])
             if inter <= 0:
                 continue
             iou = inter / (g_area[i] + p_area[j] - inter)
