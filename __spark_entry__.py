@@ -128,9 +128,9 @@ def q_score_rollup(spark, sf_dir):
 SQL_SCORE = """
 WITH agg AS (
   SELECT l_returnflag,
-         SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS tp,
-         SUM(CASE WHEN l_quantity < 25 AND l_discount > 0.05 THEN 1 ELSE 0 END) AS fp,
-         SUM(CASE WHEN l_quantity < 25 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS fn
+         CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN l_quantity < 25 AND l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN l_quantity < 25 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS fn
   FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, tp, fp, fn,
        ROUND(tp / (tp + fp), 6) AS precision,
@@ -482,7 +482,7 @@ bit AS (
   FROM h, (SELECT unnest(range(0, 32)) AS b)),
 agg AS (SELECT doc_id, b, SUM(contrib) AS sumc FROM bit GROUP BY 1, 2)
 SELECT doc_id,
-       SUM(CASE WHEN sumc > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN sumc > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM agg GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -590,7 +590,7 @@ def q_token_counts(spark, sf_dir):
 
 SQL_TOKEN_COUNTS = """
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        MIN(len(string_split(text, ' '))) AS min_tokens,
        MAX(len(string_split(text, ' '))) AS max_tokens
 FROM documents GROUP BY source ORDER BY source
@@ -894,7 +894,7 @@ per AS (
   SELECT user_id, session_num, COUNT(*) AS n_events,
          CAST(MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS dur_sec
   FROM s GROUP BY 1, 2)
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(dur_sec) AS max_dur_sec
 FROM per GROUP BY user_id ORDER BY user_id
 """

@@ -115,15 +115,33 @@ def wkt_dump(gtype: str, parts) -> str:
 
 
 def polygon_rings(wkt: str) -> list[np.ndarray]:
-    """All rings of a POLYGON/MULTIPOLYGON as a flat list (exterior CCW-agnostic)."""
+    """All rings of a POLYGON/MULTIPOLYGON as a flat list with orientation
+    NORMALIZED: exterior rings CCW (signed area > 0), hole rings CW.
+
+    GEOS/shapely area and overlay are ring-orientation-insensitive; the
+    signed fan-triangle decomposition (fan_decompose) and the
+    |Σ signed ring area| shortcut are not — a hole wound like its exterior
+    would double-count instead of subtracting. Normalizing here makes every
+    downstream consumer (IoU kernels, rasterizer winding, area sums) agree
+    with GEOS regardless of input winding."""
     gtype, parts = wkt_parse(wkt)
     if gtype == "POLYGON":
-        return list(parts)
-    if gtype == "MULTIPOLYGON":
-        return [r for poly in parts for r in poly]
-    if not parts:
+        polys = [parts]
+    elif gtype == "MULTIPOLYGON":
+        polys = parts
+    elif not parts:
         return []
-    raise ValueError(f"expected polygonal WKT, got {gtype}")
+    else:
+        raise ValueError(f"expected polygonal WKT, got {gtype}")
+    out = []
+    for rings in polys:
+        for k, r in enumerate(rings):
+            sa = ring_signed_area(r)
+            want_ccw = k == 0
+            if sa != 0.0 and (sa > 0) != want_ccw:
+                r = r[::-1]
+            out.append(r)
+    return out
 
 
 # ---------------------------------------------------------------------------

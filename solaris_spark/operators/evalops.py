@@ -34,6 +34,7 @@ MATCH_SCHEMA = T.StructType([
     T.StructField("row_id", T.LongType(), False),
     T.StructField("iou_score", T.DoubleType(), True),
     T.StructField("matched_gt", T.LongType(), True),
+    T.StructField("area", T.DoubleType(), True),
 ])
 
 
@@ -118,12 +119,13 @@ def _greedy_match_group(pdf: pd.DataFrame, miniou: float, min_area: float) -> pd
     rows = []
     for i, pid in enumerate(pred_ids):
         rows.append((image_id, "pred", int(pid), float(out_pred_iou[i]),
-                     int(out_pred_match[i]) if out_pred_match[i] >= 0 else None))
+                     int(out_pred_match[i]) if out_pred_match[i] >= 0 else None,
+                     float(pred_areas[i])))
     for j, gid in enumerate(gt_ids):
         rows.append((image_id, "gt", int(gid), float(gt_best[j]),
-                     None if alive[j] else int(gid)))
+                     None if alive[j] else int(gid), float(gt_areas[j])))
     return pd.DataFrame(rows, columns=["image_id", "kind", "row_id",
-                                       "iou_score", "matched_gt"])
+                                       "iou_score", "matched_gt", "area"])
 
 
 def greedy_iou_match(gt: DataFrame, pred: DataFrame, miniou: float = 0.5,
@@ -155,14 +157,17 @@ def greedy_iou_match(gt: DataFrame, pred: DataFrame, miniou: float = 0.5,
 def image_scores(match: DataFrame, miniou: float = 0.5) -> DataFrame:
     """Per-image TP/FP/FN + P/R/F1 — base.py:157-206 exactly:
     TP = preds with iou >= miniou; FP = preds with iou < miniou;
-    FN = GT never claimed above miniou."""
+    FN = GT never claimed above miniou AND area > 0 (base.py:182-183
+    filters leftover GT to area > 0 before counting FalseNeg, so zero-area
+    GT rows — which pass the default min_area=0 `>=` keep filter — must
+    not inflate FN; ADVICE r01)."""
     agg = match.groupBy("image_id").agg(
         F.sum(F.when((F.col("kind") == "pred")
                      & (F.col("iou_score") >= miniou), 1).otherwise(0)).alias("TruePos"),
         F.sum(F.when((F.col("kind") == "pred")
                      & (F.col("iou_score") < miniou), 1).otherwise(0)).alias("FalsePos"),
-        F.sum(F.when((F.col("kind") == "gt")
-                     & F.col("matched_gt").isNull(), 1).otherwise(0)).alias("FalseNeg"),
+        F.sum(F.when((F.col("kind") == "gt") & F.col("matched_gt").isNull()
+                     & (F.col("area") > 0), 1).otherwise(0)).alias("FalseNeg"),
     )
     return with_prf(agg)
 

@@ -95,7 +95,11 @@ def scot_one_aoi_np(pdf: pd.DataFrame, threshold=0.25, base_reward=100.0,
     aoi = pdf["aoi"].iloc[0]
     grnd = pdf[pdf["kind"] == "gt"]
     prop = pdf[pdf["kind"] == "prop"]
-    timesteps = sorted(set(grnd["timestep"]) | set(prop["timestep"]))
+    # timesteps come from GT ONLY — the reference derives both loops from
+    # grnd_df (scot.py scot_one_aoi), silently skipping proposals at
+    # timesteps with no ground truth; mirror that for score parity
+    # (ADVICE r01: union-of-timesteps scored such proposals as FPs).
+    timesteps = sorted(set(grnd["timestep"]))
 
     tp_net = fp_net = fn_net = 0
     all_g, all_p = [], []

@@ -222,6 +222,14 @@ def raster_tiles_warped(images_geo: DataFrame, tile_size: tuple[int, int],
                           geo[:, 0].max(), geo[:, 1].max())
                 tb = G.split_geom_bounds(bounds, (ty_px, tx_px),
                                          resolution=dest_res)
+                # tile indices from the DEST-CRS grid, same rank-of-unique
+                # scheme as raster_tiles — downstream grid-keyed operators
+                # (vector_tiles candidate join, stitch placement) rely on
+                # distinct (tx, ty) per tile (ADVICE r01).
+                xm = np.sort(np.unique(tb[:, 0]))
+                ymx = np.sort(np.unique(tb[:, 3]))
+                xi = {v: i for i, v in enumerate(xm)}
+                yi = {v: i for i, v in enumerate(ymx)}
                 nod = row.nodata if row.nodata is not None and not pd.isna(row.nodata) else 0
                 for t in tb:
                     dst_t = (dest_res[0], 0.0, t[0], 0.0, -dest_res[1], t[3])
@@ -233,7 +241,7 @@ def raster_tiles_warped(images_geo: DataFrame, tile_size: tuple[int, int],
                         continue
                     out.append(dict(
                         tile_id=tile_name(row.image_id, t[0], t[3]),
-                        image_id=row.image_id, tx=0, ty=0,
+                        image_id=row.image_id, tx=xi[t[0]], ty=yi[t[3]],
                         xmin=t[0], ymin=t[1], xmax=t[2], ymax=t[3],
                         pixels=tile.tobytes(), th=ty_px, tw=tx_px,
                         nchan=arr.shape[0], fmt=row.fmt,
@@ -277,7 +285,8 @@ def labels_geo(labels: DataFrame, geo: DataFrame) -> DataFrame:
 
 
 def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
-                 min_partial_perc: float = 0.0) -> DataFrame:
+                 min_partial_perc: float = 0.0,
+                 tile_px: tuple[int, int] | None = None) -> DataFrame:
     """Clip label geometries to tile bounds — the reference's per-tile R-tree
     loop (vector_tile.py:198-324) re-expressed as ONE candidate equi-join +
     exact clip refine:
@@ -289,6 +298,12 @@ def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
       2. refine: Sutherland–Hodgman rect clip; keep rows whose
          partialDec = clip_area/origarea > min_partial_perc
          (vector_tile.py:306-309); truncated = int(partialDec != 1.0).
+
+    tile_px = (ty_px, tx_px) enables the tile-local pixel frame output
+    (wkt_tile_pix) — the reference's output_type='px' path
+    (vector_tile.py:191 + utils/geo.py affine_transform with the inverse
+    tile affine): col = (x − xmin)/res_x, row = (ymax − y)/res_y with
+    res derived from tile bounds / pixel size.  None keeps the column NULL.
     """
     # candidate tile indices from label bbox ⋈ grid bounds — computed by
     # joining on image_id with a bbox-range predicate is a theta join; to
@@ -308,20 +323,17 @@ def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
         F.first(F.col("ymax") - F.col("ymin")).alias("tsy"),
     )
     lab = lab.join(gdim, "image_id")
-    # tile indices ascend with xmin / ymin (same ordering tile_grid assigns)
-    lab = lab.withColumn(
-        "tx_arr",
-        F.sequence(
-            F.greatest(F.lit(0), F.floor((F.col("bbox")[0] - F.col("gx0")) / F.col("tsx")).cast("int") - 1),
-            F.floor((F.col("bbox")[2] - F.col("gx0")) / F.col("tsx")).cast("int") + 1,
-        ),
-    ).withColumn(
-        "ty_arr",
-        F.sequence(
-            F.greatest(F.lit(0), F.floor((F.col("bbox")[1] - F.col("gy0")) / F.col("tsy")).cast("int") - 1),
-            F.floor((F.col("bbox")[3] - F.col("gy0")) / F.col("tsy")).cast("int") + 1,
-        ),
-    )
+    # tile indices ascend with xmin / ymin (same ordering tile_grid assigns).
+    # EXACT floor range — no ±1 pad: the half-open grid means a bbox edge
+    # exactly on a tile boundary floors into the neighbor, where the clip
+    # refine yields zero area and the strict partialDec filter drops it;
+    # a pad would 9× the candidate rows fed to the clip UDF (VERDICT r01).
+    lo_x = F.greatest(F.lit(0), F.floor((F.col("bbox")[0] - F.col("gx0")) / F.col("tsx")).cast("int"))
+    hi_x = F.greatest(lo_x, F.floor((F.col("bbox")[2] - F.col("gx0")) / F.col("tsx")).cast("int"))
+    lo_y = F.greatest(F.lit(0), F.floor((F.col("bbox")[1] - F.col("gy0")) / F.col("tsy")).cast("int"))
+    hi_y = F.greatest(lo_y, F.floor((F.col("bbox")[3] - F.col("gy0")) / F.col("tsy")).cast("int"))
+    lab = lab.withColumn("tx_arr", F.sequence(lo_x, hi_x)) \
+             .withColumn("ty_arr", F.sequence(lo_y, hi_y))
     cand = (lab.withColumn("tx", F.explode("tx_arr"))
             .withColumn("ty", F.explode("ty_arr"))
             .select("image_id", "label_id", "wkt_geo", "tx", "ty"))
@@ -329,12 +341,13 @@ def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
 
     @F.pandas_udf(T.StructType([
         T.StructField("wkt_clip", T.StringType()),
+        T.StructField("wkt_pix", T.StringType()),
         T.StructField("origarea", T.DoubleType()),
         T.StructField("clip_area", T.DoubleType()),
     ]))
     def clip(wkt: pd.Series, xmin: pd.Series, ymin: pd.Series,
              xmax: pd.Series, ymax: pd.Series) -> pd.DataFrame:
-        wkts, oas, cas = [], [], []
+        wkts, pixs, oas, cas = [], [], [], []
         for i in range(len(wkt)):
             rings = G.polygon_rings(wkt.iat[i])
             rect = (xmin.iat[i], ymin.iat[i], xmax.iat[i], ymax.iat[i])
@@ -345,7 +358,18 @@ def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
             wkts.append(G.wkt_dump("POLYGON", clipped) if clipped else None)
             oas.append(oa)
             cas.append(ca)
-        return pd.DataFrame({"wkt_clip": wkts, "origarea": oas, "clip_area": cas})
+            if tile_px is not None and clipped:
+                # inverse tile affine: geo → tile-local pixel frame
+                rx = (rect[2] - rect[0]) / tile_px[1]
+                ry = (rect[3] - rect[1]) / tile_px[0]
+                px = [np.stack([(r[:, 0] - rect[0]) / rx,
+                                (rect[3] - r[:, 1]) / ry], axis=1)
+                      for r in clipped]
+                pixs.append(G.wkt_dump("POLYGON", px))
+            else:
+                pixs.append(None)
+        return pd.DataFrame({"wkt_clip": wkts, "wkt_pix": pixs,
+                             "origarea": oas, "clip_area": cas})
 
     joined = joined.withColumn("cl", clip("wkt_geo", "g.xmin", "g.ymin", "g.xmax", "g.ymax"))
     out = (joined
@@ -357,18 +381,10 @@ def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
                    & (F.col("partialDec") > F.lit(min_partial_perc)))
            .withColumn("wkt_geo_clip", F.col("cl.wkt_clip")))
 
-    @F.pandas_udf(T.StringType())
-    def to_tile_pix(wkt: pd.Series, xmin: pd.Series, ymax: pd.Series) -> pd.Series:
-        # tile-local pixel coords (0.5 m/px north-up default handled by caller)
-        res = []
-        for i in range(len(wkt)):
-            res.append(wkt.iat[i])
-        return pd.Series(res)
-
     return out.select(
         F.col("g.tile_id").alias("tile_id"), "image_id", "label_id",
         F.col("wkt_geo_clip").alias("wkt_geo"),
-        F.lit(None).cast("string").alias("wkt_tile_pix"),
+        F.col("cl.wkt_pix").alias("wkt_tile_pix"),
         "origarea", "clip_area", "partialDec", "truncated")
 
 

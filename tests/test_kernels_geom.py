@@ -133,3 +133,22 @@ class TestWkt:
     def test_empty(self):
         t, parts = G.wkt_parse("POLYGON EMPTY")
         assert parts == []
+
+
+class TestHoleOrientation:
+    def test_area_and_iou_orientation_insensitive(self):
+        """GEOS/shapely area is ring-orientation-insensitive; a hole wound
+        like its exterior must still subtract (ADVICE r01: self-IoU was
+        inflated to 1.167 by same-wound holes)."""
+        ext = "0 0, 10 0, 10 10, 0 10, 0 0"          # CCW
+        hole_same = "2 2, 6 2, 6 6, 2 6, 2 2"        # CCW too (invalid winding)
+        hole_opp = "2 2, 2 6, 6 6, 6 2, 2 2"         # CW (valid winding)
+        w_bad = f"POLYGON (({ext}), ({hole_same}))"
+        w_ok = f"POLYGON (({ext}), ({hole_opp}))"
+        assert abs(G.polygon_area(w_bad) - 84.0) < 1e-9
+        assert abs(G.iou_wkt(w_bad, w_bad) - 1.0) < 1e-12
+        assert abs(G.iou_wkt(w_bad, w_ok) - 1.0) < 1e-12
+        # intersection with a probe overlapping the hole region: the hole
+        # contributes nothing regardless of winding
+        probe = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
+        assert G.iou_wkt(w_bad, probe) == 0.0

@@ -82,3 +82,20 @@ class TestGreedyMatch:
         # AP = (51*1.0 + 50*(2/3)) / 101
         expected = (51 * 1.0 + 50 * (2 / 3)) / 101
         assert abs(ap - expected) < 1e-12
+
+    def test_zero_area_gt_excluded_from_fn(self, spark):
+        """Reference base.py:182-183 counts FalseNeg only over leftover GT
+        with area > 0; zero-area GT rows (which pass the default
+        min_area=0 '>=' keep filter) must not inflate FN (ADVICE r01)."""
+        sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        degen = "POLYGON ((5 5, 5 5, 5 5, 5 5))"
+        gt = spark.createDataFrame(
+            [("i", 0, sq), ("i", 1, degen)],
+            "image_id string, row_id long, wkt string")
+        pred = spark.createDataFrame(
+            [("i", 0, sq, 1.0)],
+            "image_id string, row_id long, wkt string, conf double")
+        m = evalops.greedy_iou_match(gt, pred, miniou=0.5)
+        s = evalops.image_scores(m, miniou=0.5).collect()[0]
+        assert s["TruePos"] == 1 and s["FalsePos"] == 0
+        assert s["FalseNeg"] == 0

@@ -120,3 +120,14 @@ class TestScot:
         assert set(rows) == {"a", "b", "c"}
         # single timestep → no change-detection opportunities → change 0
         assert all(r["track_score"] == 1.0 for r in rows.values())
+
+    def test_proposal_at_non_gt_timestep_skipped(self, spark):
+        """Timesteps come from GT only — the reference silently skips
+        proposals at timesteps with no ground truth (scot_one_aoi builds
+        both loops from grnd_df); they must not score as FPs (ADVICE r01)."""
+        sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        gt = [("a", "t1", 1, sq), ("a", "t2", 1, sq)]
+        pr = [("a", "t1", 1, sq), ("a", "t2", 1, sq), ("a", "t9", 1, sq)]
+        out = scot.scot_scores(self._df(spark, gt), self._df(spark, pr)).collect()[0]
+        assert out["track_fp"] == 0
+        assert out["track_score"] == 1.0

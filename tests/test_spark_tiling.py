@@ -166,3 +166,62 @@ class TestAoiAndFill:
         arr = np.frombuffer(filled["pixels"], dtype=np.uint8).reshape(90, 90)
         assert (arr != 0).all()
         assert arr[0, 0] == int(np.mean(px))  # truncation to uint8
+
+
+class TestAdviceR01Fixes:
+    def test_warped_tiles_have_grid_indices(self, spark, fixture_ig):
+        """raster_tiles_warped assigns distinct (tx, ty) from the dest-CRS
+        grid (ADVICE r01: was tx=ty=0 for every tile, collapsing grid-keyed
+        downstream ops onto one slot)."""
+        tiles = tiling.raster_tiles_warped(
+            fixture_ig, (64, 64), dest_epsg=4326,
+            dest_res=(6e-5, 6e-5), nodata_threshold=0.99).collect()
+        assert len(tiles) >= 4
+        assert len({(r["tx"], r["ty"]) for r in tiles}) == len(tiles)
+        # tx ascends with xmin, ty with ymax (same rank-of-unique scheme
+        # as raster_tiles)
+        by_tx = sorted(tiles, key=lambda r: r["xmin"])
+        assert [r["tx"] for r in by_tx] == sorted(r["tx"] for r in by_tx)
+
+    def test_vector_tiles_tile_pix(self, spark, fixture_ig):
+        """tile_px enables the tile-local pixel frame (reference
+        vector_tile.py output_type='px'): coords land in [0, tile_px] and
+        invert back to the geo frame exactly."""
+        grid = tiling.tile_grid(fixture_ig, (90, 90))
+        wkt = ("POLYGON ((733610 3725100, 733640 3725100, 733640 3725130, "
+               "733610 3725130, 733610 3725100))")
+        lab = spark.createDataFrame(
+            [(synth.FIXTURE_IMAGE_ID, 0, wkt)],
+            "image_id string, label_id int, wkt_geo string")
+        rows = tiling.vector_tiles(lab, grid, tile_px=(90, 90)).collect()
+        assert rows and all(r["wkt_tile_pix"] is not None for r in rows)
+        gl = {g["tile_id"]: g for g in grid.collect()}
+        for r in rows:
+            g = gl[r["tile_id"]]
+            rx = (g["xmax"] - g["xmin"]) / 90.0
+            ry = (g["ymax"] - g["ymin"]) / 90.0
+            # parse raw (unnormalized) rings: the y-flip into the pixel
+            # frame reverses winding, so orientation-normalizing parses
+            # would reverse one side of the comparison
+            pix = list(G.wkt_parse(r["wkt_tile_pix"])[1])
+            geo = list(G.wkt_parse(r["wkt_geo"])[1])
+            assert all((p[:, 0] >= -1e-9).all() and (p[:, 0] <= 90 + 1e-9).all()
+                       and (p[:, 1] >= -1e-9).all() and (p[:, 1] <= 90 + 1e-9).all()
+                       for p in pix)
+            for p, q in zip(pix, geo):
+                assert np.allclose(g["xmin"] + p[:, 0] * rx, q[:, 0], atol=1e-6)
+                assert np.allclose(g["ymax"] - p[:, 1] * ry, q[:, 1], atol=1e-6)
+
+    def test_vector_tiles_no_candidate_pad(self, spark, fixture_ig):
+        """Exact floor candidate range: a label strictly inside one tile
+        produces exactly one surviving row AND feeds only its own tile to
+        the clip refine (no 3x3 pad explosion)."""
+        grid = tiling.tile_grid(fixture_ig, (90, 90))
+        wkt = ("POLYGON ((733620 3725105, 733630 3725105, 733630 3725115, "
+               "733620 3725115, 733620 3725105))")
+        lab = spark.createDataFrame(
+            [(synth.FIXTURE_IMAGE_ID, 0, wkt)],
+            "image_id string, label_id int, wkt_geo string")
+        rows = tiling.vector_tiles(lab, grid).collect()
+        assert len(rows) == 1
+        assert rows[0]["truncated"] == 0
