@@ -431,8 +431,13 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def _sql_minhash() -> str:
+    # Kirsch–Mitzenmacher double hashing: the whole family comes from ONE
+    # md5 per shingle — h_i = (h1 + i·h2) mod 2^32 with h1/h2 = two 32-bit
+    # digest words (mirrors dedup.minhash_signatures exactly)
     hash_exprs = ",\n    ".join(
-        f"MIN(CAST(concat('0x', substr(md5(concat('{i}|', s)), 1, 8)) AS BIGINT)) AS m{i}"
+        "MIN((CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) + "
+        f"{i} * CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)) "
+        f"% 4294967296) AS m{i}"
         for i in range(_N_HASHES))
     band_exprs = ",\n    ".join(
         "concat_ws('_', " + ", ".join(f"CAST(m{b * 4 + j} AS VARCHAR)"

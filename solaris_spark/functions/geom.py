@@ -297,6 +297,53 @@ def segments_intersect(a1, a2, b1, b2) -> bool:
     return False
 
 
+def polygon_edges(rings: list[np.ndarray]) -> np.ndarray:
+    """All ring edges as one (n, 4) array [x1, y1, x2, y2] — input to the
+    batched segment-intersection kernel."""
+    if not rings:
+        return np.empty((0, 4))
+    return np.vstack([np.hstack([r[:-1], r[1:]]) for r in rings])
+
+
+def any_segments_intersect(ea: np.ndarray, eb: np.ndarray) -> bool:
+    """True iff ANY edge of `ea` intersects ANY edge of `eb` (closed-set
+    semantics incl. endpoint/collinear touch) — the numpy-broadcast
+    equivalent of the scalar segments_intersect over all edge pairs.
+    Replaces the O(E_a × E_b) pure-Python quadruple loop in the class-eval
+    candidate test (VERDICT r01 #4); identical predicate arithmetic."""
+    if not len(ea) or not len(eb):
+        return False
+    a1 = ea[:, None, 0:2]
+    a2 = ea[:, None, 2:4]
+    b1 = eb[None, :, 0:2]
+    b2 = eb[None, :, 2:4]
+
+    def orient(p, q, r):
+        return ((q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1])
+                - (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0]))
+
+    d1 = orient(b1, b2, a1)
+    d2 = orient(b1, b2, a2)
+    d3 = orient(a1, a2, b1)
+    d4 = orient(a1, a2, b2)
+    proper = (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+              & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0))
+    if proper.any():
+        return True
+
+    def on_seg(p, q, r):
+        return ((np.minimum(p[..., 0], q[..., 0]) <= r[..., 0])
+                & (r[..., 0] <= np.maximum(p[..., 0], q[..., 0]))
+                & (np.minimum(p[..., 1], q[..., 1]) <= r[..., 1])
+                & (r[..., 1] <= np.maximum(p[..., 1], q[..., 1])))
+
+    touch = (((d1 == 0) & on_seg(b1, b2, a1))
+             | ((d2 == 0) & on_seg(b1, b2, a2))
+             | ((d3 == 0) & on_seg(a1, a2, b1))
+             | ((d4 == 0) & on_seg(a1, a2, b2)))
+    return bool(touch.any())
+
+
 def rect_intersects_polygon(rect, rings: list[np.ndarray]) -> bool:
     """True iff closed rect [xmin,ymin,xmax,ymax] touches/overlaps the polygon."""
     xmin, ymin, xmax, ymax = rect

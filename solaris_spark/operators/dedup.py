@@ -39,14 +39,25 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.4) -> DataFrame:
+                        threshold: float = 0.4,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact word-n-gram Jaccard pairs ≥ threshold via shingle equi-join.
-    Cost ∝ Σ_shingle df(shingle)² — at web scale drop stop-shingles
-    (document frequency cap) before the self-join; exposed here as the
-    exact refine under MinHash candidates."""
+
+    Cost ∝ Σ_shingle df(shingle)² — `max_doc_freq` drops stop-shingles
+    (document frequency > cap) BEFORE the self-join, bounding the worst
+    bucket at cap² pairs; that's the 100 TB knob (a handful of boilerplate
+    shingles otherwise dominate the join).  Jaccard denominators still use
+    the FULL shingle-set sizes, so capped scores are a lower bound of the
+    exact ones (capped-out shingles can only lose intersection credit).
+    None = exact."""
     sh = _shingles(docs.select(id_col, text_col), text_col, n) \
         .select(F.col(id_col).alias("_id"), "s")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        df_per_shingle = sh.groupBy("s").agg(
+            F.count(F.lit(1)).alias("_df"))
+        sh = (sh.join(df_per_shingle.filter(F.col("_df") <= max_doc_freq)
+                      .select("s"), "s"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
                     & (F.col("a._id") < F.col("b._id")))
@@ -64,16 +75,25 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 16,
                        shingle_n: int = 3) -> DataFrame:
-    """MinHash signature per doc: min over shingles of h_i(s) where
-    h_i(s) = md5int(i || s) — n_hashes independent permutation proxies.
-    One shuffle (groupBy id)."""
+    """MinHash signature per doc: min over shingles of h_i(s), with the
+    whole hash family derived from ONE md5 per shingle
+    (Kirsch–Mitzenmacher double hashing: h_i = (h1 + i·h2) mod 2³²,
+    h1/h2 = two 32-bit words of the digest) — 16× less hashing on the
+    dominant stage vs one md5 per family member (VERDICT r01), still
+    bit-reproducible in DuckDB.  One shuffle (groupBy id)."""
     sh = _shingles(docs.select(id_col, text_col), text_col, shingle_n)
     hashed = sh.select(
         id_col,
-        *[_md5_int(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
-          for i in range(n_hashes)])
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)])
+        F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
+        .cast("long").alias("_h1"),
+        F.conv(F.substring(F.md5(F.col("s")), 9, 8), 16, 10)
+        .cast("long").alias("_h2"))
+    fam = [F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"),
+                  F.lit(4294967296)).alias(f"h{i}")
+           for i in range(n_hashes)]
+    return (hashed.select(id_col, *fam)
+            .groupBy(id_col)
+            .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -104,20 +124,22 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash per doc: sign of per-bit ±1 sums over token hashes.
-    Relational formulation (explode bits) — no UDF."""
+
+    One conditional aggregate per bit over the token rows (map-side
+    partial agg; NO bit explosion — the previous formulation shuffled
+    tokens×bits rows, 32× the input; VERDICT r01 #5).  All JVM-side."""
     tok = (docs.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
            .withColumn("h", _md5_int(F.col("tok"))))
-    bit = tok.select(id_col,
-                     F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-                     "h")
-    bit = bit.withColumn(
-        "contrib", F.when(F.expr("shiftrightunsigned(h, b) % 2") == 1, 1)
-        .otherwise(-1))
-    agg = bit.groupBy(id_col, "b").agg(F.sum("contrib").alias("sumc"))
-    return (agg.withColumn(
-        "bitval", F.when(F.col("sumc") > 0, F.expr("shiftleft(1L, b)"))
-        .otherwise(0))
-        .groupBy(id_col).agg(F.sum("bitval").alias("simhash")))
+    sums = [F.sum(F.when(F.expr(f"shiftrightunsigned(h, {b}) % 2") == 1,
+                         1).otherwise(-1)).alias(f"s{b}")
+            for b in range(bits)]
+    agg = tok.groupBy(id_col).agg(*sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("simhash"))
 
 
 def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",

@@ -254,10 +254,11 @@ def class_matched_ious(gt: DataFrame, pred: DataFrame,
                               for r in rings])
                     if rings else np.empty((0, 4)))
             tris = [G.fan_decompose(r, origin) for r in rings]
-            return rings, areas, bbox, tris
+            edges = [G.polygon_edges(r) for r in rings]
+            return rings, areas, bbox, tris, edges
 
-        g_rings, g_areas, g_bbox, g_tris = prep(gt_rows)
-        p_rings, p_areas, p_bbox, p_tris = prep(pr_rows)
+        g_rings, g_areas, g_bbox, g_tris, g_edges = prep(gt_rows)
+        p_rings, p_areas, p_bbox, p_tris, p_edges = prep(pr_rows)
         g_cls = list(gt_rows["class"])
         p_cls = list(pr_rows["class"])
         p_conf = list(pr_rows["conf"])
@@ -265,8 +266,8 @@ def class_matched_ious(gt: DataFrame, pred: DataFrame,
         out = []
 
         def one_pass(side, query_idx_by_class, q_rings, q_areas, q_tris,
-                     q_cls_all, pool_rings, pool_areas, pool_bbox,
-                     pool_tris, pool_cls, confs):
+                     q_edges, q_cls_all, pool_rings, pool_areas, pool_bbox,
+                     pool_tris, pool_edges, pool_cls, confs):
             alive = np.ones(len(pool_cls), dtype=bool)
             counter = {c: 0 for c in classes}
             for obj in classes:
@@ -287,7 +288,8 @@ def class_matched_ious(gt: DataFrame, pred: DataFrame,
                     for j in idxs:
                         inter = G.tri_intersection_area(q_tris[qi],
                                                         pool_tris[j])
-                        if inter > 0 or _touches(q_rings[qi], pool_rings[j]):
+                        if inter > 0 or G.any_segments_intersect(
+                                q_edges[qi], pool_edges[j]):
                             union = q_areas[qi] + pool_areas[j] - inter
                             pairs.append((j, inter / union if union > 0 else 0.0))
                     if not pairs:
@@ -316,29 +318,21 @@ def class_matched_ious(gt: DataFrame, pred: DataFrame,
         for i, c in enumerate(g_cls):
             g_by_class.setdefault(c, []).append(i)
 
-        one_pass("precision", p_by_class, p_rings, p_areas, p_tris, p_cls,
-                 g_rings, g_areas, g_bbox, g_tris, g_cls, p_conf)
-        one_pass("recall", g_by_class, g_rings, g_areas, g_tris, g_cls,
-                 p_rings, p_areas, p_bbox, p_tris, p_cls, None)
+        one_pass("precision", p_by_class, p_rings, p_areas, p_tris, p_edges,
+                 p_cls, g_rings, g_areas, g_bbox, g_tris, g_edges, g_cls,
+                 p_conf)
+        one_pass("recall", g_by_class, g_rings, g_areas, g_tris, g_edges,
+                 g_cls, p_rings, p_areas, p_bbox, p_tris, p_edges, p_cls,
+                 None)
         return pd.DataFrame(out, columns=[f.name for f in
                                           CLASS_IOU_SCHEMA.fields])
 
     return both.groupBy("image_id").applyInPandas(run, schema=CLASS_IOU_SCHEMA)
 
 
-def _touches(rings_a, rings_b) -> bool:
-    """Boundary-touch test for the `.intersects` candidate semantics when the
-    interiors don't overlap (zero-area intersection still yields a candidate
-    with iou 0 in calculate_iou)."""
-    for ra in rings_a:
-        for rb in rings_b:
-            for i in range(len(ra) - 1):
-                for j in range(len(rb) - 1):
-                    if G.segments_intersect(
-                            (ra[i, 0], ra[i, 1]), (ra[i + 1, 0], ra[i + 1, 1]),
-                            (rb[j, 0], rb[j, 1]), (rb[j + 1, 0], rb[j + 1, 1])):
-                        return True
-    return False
+# boundary-touch test (the `.intersects` candidate semantics when interiors
+# don't overlap) lives in geom.any_segments_intersect — numpy-broadcast over
+# all edge pairs, no per-pair Python loop.
 
 
 def class_scores(class_ious: DataFrame, threshold: float = 0.5) -> DataFrame:

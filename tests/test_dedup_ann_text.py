@@ -64,6 +64,24 @@ class TestDedup:
         assert found == 20  # identical-direction twins share every SRP bucket
 
 
+    def test_ngram_jaccard_doc_freq_cap(self, spark):
+        """max_doc_freq drops stop-shingles before the self-join (the 100 TB
+        knob): the planted near-dup pair survives because its distinctive
+        shingles are rare, while the boilerplate shingle shared by every doc
+        no longer contributes candidate pairs."""
+        boiler = "lorem ipsum dolor sit"
+        rows = [(i, boiler + f" unique{i} filler{i} tail{i}") for i in range(20)]
+        rows.append((100, "alpha beta gamma delta epsilon zeta"))
+        rows.append((101, "alpha beta gamma delta epsilon eta"))
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = dedup.ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=5)
+        pairs = {(r["da"], r["db"]) for r in capped.collect()}
+        assert (100, 101) in pairs
+        # every boilerplate-only pair is gone (their shared shingles have
+        # doc freq 20 > 5 and they share nothing else)
+        assert all(da >= 100 for da, _ in pairs)
+
+
 class TestAnn:
     def test_ivf_recall_vs_brute_force(self, spark):
         rng = np.random.default_rng(8)
@@ -80,6 +98,25 @@ class TestAnn:
         ap = {(r["qid"], r["tid"]) for r in approx.collect()}
         recall = len(ex & ap) / len(ex)
         assert recall >= 0.8, recall
+
+
+    def test_ivf_n_cells_256_no_plan_blowup(self, spark):
+        """n_cells=256 on the real embeddings table: the broadcast-centroid
+        pandas-UDF path keeps the plan size independent of n_cells x dim
+        (the old unrolled-literal expression blew up codegen past ~100
+        cells; VERDICT r01 #6).  Recall vs brute force still >= 0.8."""
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        t = e.selectExpr("vec_id as tid", "embedding as tv")
+        q = (e.filter("vec_id < 15")
+             .selectExpr("vec_id as qid", "embedding as qv"))
+        approx = ann.ivf_knn(q, t, k=3, n_cells=256, n_probe=32)
+        # plan stays small: no 256 x dim literal arrays in the tree
+        plan = approx._jdf.queryExecution().analyzed().toString()
+        assert len(plan) < 200_000, len(plan)
+        exact = ann.brute_force_knn(q, t, k=3)
+        ex = {(r["qid"], r["tid"]) for r in exact.collect()}
+        ap = {(r["qid"], r["tid"]) for r in approx.collect()}
+        assert len(ex & ap) / len(ex) >= 0.8
 
     def test_brute_force_self_neighbor_excluded(self, spark):
         v = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]

@@ -152,3 +152,34 @@ class TestHoleOrientation:
         # contributes nothing regardless of winding
         probe = "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"
         assert G.iou_wkt(w_bad, probe) == 0.0
+
+
+class TestBatchedSegmentIntersect:
+    def test_matches_scalar_predicate(self):
+        """any_segments_intersect ≡ OR of scalar segments_intersect over all
+        edge pairs (random + degenerate cases)."""
+        import numpy as np
+        rng = np.random.default_rng(3)
+        for _ in range(200):
+            ea = rng.uniform(0, 10, (3, 4))
+            eb = rng.uniform(0, 10, (4, 4))
+            expect = any(
+                G.segments_intersect((e[0], e[1]), (e[2], e[3]),
+                                     (f[0], f[1]), (f[2], f[3]))
+                for e in ea for f in eb)
+            assert G.any_segments_intersect(ea, eb) == expect
+
+    def test_touch_cases(self):
+        import numpy as np
+        # endpoint touch
+        assert G.any_segments_intersect(np.array([[0., 0., 1., 0.]]),
+                                        np.array([[1., 0., 2., 5.]]))
+        # collinear overlap
+        assert G.any_segments_intersect(np.array([[0., 0., 2., 0.]]),
+                                        np.array([[1., 0., 3., 0.]]))
+        # disjoint parallel
+        assert not G.any_segments_intersect(np.array([[0., 0., 2., 0.]]),
+                                            np.array([[0., 1., 2., 1.]]))
+        # empty
+        assert not G.any_segments_intersect(np.empty((0, 4)),
+                                            np.array([[0., 0., 1., 1.]]))

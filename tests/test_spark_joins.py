@@ -124,3 +124,27 @@ class TestLineage:
         assert total == 100
         logdf = spark.read.parquet(log)
         assert logdf.filter(F.col("status") == "committed").count() == 4
+
+    def test_single_pass_input_scans(self, spark, tmp_path):
+        """The input is materialized a CONSTANT number of times (2 scans:
+        rows_in agg + transform/write), not once per partition — the
+        VERDICT r01 scale fix.  An accumulator on the key column counts
+        row materializations; with 16 partitions the old per-partition
+        loop would read 17x."""
+        import pandas as pd
+        acc = spark.sparkContext.accumulator(0)
+
+        @F.pandas_udf("long")
+        def touch(x: pd.Series) -> pd.Series:
+            acc.add(len(x))
+            return x
+
+        df = spark.range(0, 1000).withColumn("k", touch(F.col("id")))
+        out = str(tmp_path / "out1p")
+        log = str(tmp_path / "lineage1p")
+        s = lineage.run_resumable(spark, df, "k", 16, "run1p", out, log,
+                                  lambda p: p.select("k"))
+        assert s["processed"] == 16
+        assert spark.read.parquet(out).count() == 1000
+        # 2 input scans (+ slack for Spark's occasional partition retries)
+        assert acc.value <= 2500, f"input scanned too often: {acc.value}"
