@@ -98,6 +98,72 @@ def build_graph(roads: DataFrame, wkt_col: str = "wkt",
     return nodes.select("node_id", "x", "y"), edges
 
 
+def graph_to_geojson(nodes: DataFrame, edges: DataFrame,
+                     output_path: str) -> tuple[str, str]:
+    """Write the graph as two GeoJSON files — `{base}_nodes.geojson`
+    (Point features: node_id) and `{base}_edges.geojson` (LineString
+    features: src, dst, weight[, road_type]) — mirroring the reference's
+    graph_to_geojson (vector/graph.py:453-545) output shape.
+
+    GeoJSON is a single JSON document, so the sink streams rows through
+    the driver (toLocalIterator — no full collect); at 100 TB you'd write
+    newline-delimited GeoJSON per partition instead (df.write.json), which
+    both of these DataFrames already support natively.
+    """
+    import json
+    import os
+
+    base = os.path.splitext(output_path)[0]
+    nodes_path, edges_path = f"{base}_nodes.geojson", f"{base}_edges.geojson"
+    d = os.path.dirname(base)
+    if d:
+        os.makedirs(d, exist_ok=True)
+
+    with open(nodes_path, "w") as fh:
+        fh.write('{"type": "FeatureCollection", "features": [\n')
+        first = True
+        for r in nodes.orderBy("node_id").toLocalIterator():
+            feat = {"type": "Feature",
+                    "properties": {"node_id": r["node_id"]},
+                    "geometry": {"type": "Point",
+                                 "coordinates": [r["x"], r["y"]]}}
+            fh.write(("" if first else ",\n") + json.dumps(feat))
+            first = False
+        fh.write("\n]}\n")
+
+    node_xy = {r["node_id"]: (r["x"], r["y"])
+               for r in nodes.toLocalIterator()}
+    with open(edges_path, "w") as fh:
+        fh.write('{"type": "FeatureCollection", "features": [\n')
+        first = True
+        for r in edges.orderBy("src", "dst").toLocalIterator():
+            props = {"src": r["src"], "dst": r["dst"],
+                     "weight": r["weight"]}
+            if "road_type" in edges.columns:
+                props["road_type"] = r["road_type"]
+            feat = {"type": "Feature", "properties": props,
+                    "geometry": {"type": "LineString",
+                                 "coordinates": [list(node_xy[r["src"]]),
+                                                 list(node_xy[r["dst"]])]}}
+            fh.write(("" if first else ",\n") + json.dumps(feat))
+            first = False
+        fh.write("\n]}\n")
+    return nodes_path, edges_path
+
+
+def to_networkx(nodes: DataFrame, edges: DataFrame):
+    """Materialize the (nodes, edges) DataFrames as a networkx Graph —
+    driver-side convenience for interop/QA (import-gated; the distributed
+    representation stays the DataFrames)."""
+    import networkx as nx
+    g = nx.Graph()
+    for r in nodes.collect():
+        g.add_node(int(r["node_id"]), x=r["x"], y=r["y"])
+    for r in edges.collect():
+        g.add_edge(int(r["src"]), int(r["dst"]), weight=r["weight"])
+    return g
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          max_iter: int = 20) -> DataFrame:
     """Small-step label propagation (min-label flooding) — enough for road

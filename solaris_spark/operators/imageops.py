@@ -103,6 +103,37 @@ def stitch_tiles(tiles: DataFrame, out_dims: DataFrame,
     return t.groupBy("image_id").applyInPandas(run, schema=STITCH_SCHEMA)
 
 
+def stitch_inference_tiles(tiles: DataFrame, out_dims: DataFrame,
+                           method: str = "average") -> DataFrame:
+    """Reassemble tiling.inference_tiles output (pixel-frame, (row0, col0)
+    top-left refs) into full images — the stitch side of the reference's
+    InferenceTiler round trip (raster/image.py:30-152 stitch_images over
+    idx_refs).  Overlapping clamped edge tiles combine per `method`."""
+    t = tiles.join(out_dims.select("image_id", F.col("w").alias("img_w"),
+                                   F.col("h").alias("img_h")), "image_id")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        r0 = pdf.iloc[0]
+        H, W = int(r0["img_h"]), int(r0["img_w"])
+        dt = {"raw-u16-c1": np.uint16, "raw-i16-c3": np.int16}.get(
+            r0["fmt"], np.uint8)
+        th, tw = int(r0["th"]), int(r0["tw"])
+        arrs, refs = [], []
+        for _, r in pdf.iterrows():
+            a = np.frombuffer(r["pixels"], dtype=dt).reshape(
+                int(r["nchan"]), th, tw)
+            arrs.append(np.moveaxis(a, 0, -1))
+            refs.append((int(r["row0"]), int(r["col0"])))
+        out = imops.stitch_images(np.stack(arrs), idx_refs=refs,
+                                  out_width=W, out_height=H, method=method)
+        return pd.DataFrame([dict(image_id=r0["image_id"],
+                                  pixels=np.moveaxis(out, -1, 0).tobytes(),
+                                  h=H, w=W, nchan=out.shape[-1],
+                                  dtype=str(out.dtype))])
+
+    return t.groupBy("image_id").applyInPandas(run, schema=STITCH_SCHEMA)
+
+
 def binarize_preds(masks: DataFrame, channel_scaling=None,
                    bg_threshold: float = 0.0) -> DataFrame:
     """preds_to_binary over a masks DataFrame (image_id, mask, h, w, nchan):

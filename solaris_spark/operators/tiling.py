@@ -253,6 +253,55 @@ def raster_tiles_warped(images_geo: DataFrame, tile_size: tuple[int, int],
     return images_geo.select(*cols).mapInPandas(gen, schema=TILE_SCHEMA)
 
 
+INFER_TILE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("row0", T.IntegerType(), False),   # top-left pixel row
+    T.StructField("col0", T.IntegerType(), False),   # top-left pixel col
+    T.StructField("pixels", T.BinaryType(), False),
+    T.StructField("th", T.IntegerType(), False),
+    T.StructField("tw", T.IntegerType(), False),
+    T.StructField("nchan", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+])
+
+
+def inference_tiles(images: DataFrame, tile_size: tuple[int, int],
+                    y_step: int | None = None,
+                    x_step: int | None = None) -> DataFrame:
+    """Edge-clamped sliding inference window — the reference's
+    InferenceTiler (nets/datagen.py:406-497) as a Spark operator: strided
+    (y_step, x_step) window whose last row/col clamps to `dim − size` so
+    every tile is full-size and the image edge is always covered.  Pixel
+    frame, no georegistration needed; pairs with stitch_inference_tiles.
+    Embarrassingly parallel per image (grid derived in-UDF, zero shuffle)."""
+    th, tw = tile_size
+    ys = y_step or th
+    xs = x_step or tw
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = decode_image(row.fmt, row.bytes, row.w, row.h)
+                h_img, w_img = row.h, row.w
+                y_steps = int(1 + np.ceil((h_img - th) / ys))
+                x_steps = int(1 + np.ceil((w_img - tw) / xs))
+                for y in range(y_steps):
+                    r0 = h_img - th if ys * y + th > h_img else ys * y
+                    for x in range(x_steps):
+                        c0 = w_img - tw if xs * x + tw > w_img else xs * x
+                        sub = arr[:, r0:r0 + th, c0:c0 + tw]
+                        out.append(dict(image_id=row.image_id, row0=r0,
+                                        col0=c0, pixels=sub.tobytes(),
+                                        th=th, tw=tw, nchan=arr.shape[0],
+                                        fmt=row.fmt))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in INFER_TILE_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=INFER_TILE_SCHEMA)
+
+
 LABEL_TILE_SCHEMA = T.StructType([
     T.StructField("tile_id", T.StringType(), False),
     T.StructField("image_id", T.StringType(), False),
