@@ -53,6 +53,9 @@ def yolo_labels(labels: DataFrame, images: DataFrame,
         return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax",
                                            "area", "overlap"])
 
+    # asNondeterministic: keeps the overlap filter from duplicating the
+    # UDF across Filter and Project (same fix as vector_tiles' clip)
+    geom_stats = geom_stats.asNondeterministic()
     j = j.withColumn("st", geom_stats("wkt_pix", "im_w", "im_h"))
     cls = F.col(class_col) if class_col else F.col("label_id")
     out = (j.filter((F.col("st.area") != 0)

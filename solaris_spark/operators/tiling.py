@@ -317,20 +317,31 @@ LABEL_TILE_SCHEMA = T.StructType([
 
 def labels_geo(labels: DataFrame, geo: DataFrame) -> DataFrame:
     """Pixel-coord labels → CRS coords via the image affine
-    (georegister_px_df, solaris/vector/polygon.py:141-192)."""
+    (georegister_px_df, solaris/vector/polygon.py:141-192).
+
+    Emits `bbox` [xmin, ymin, xmax, ymax] computed in the SAME UDF pass —
+    the geometry is already parsed here, so downstream spatial joins
+    (vector_tiles candidates) skip a second full WKT parse."""
     lb = labels.join(geo, "image_id")
 
-    @F.pandas_udf(T.StringType())
+    @F.pandas_udf(T.StructType([
+        T.StructField("wkt", T.StringType()),
+        T.StructField("bbox", T.ArrayType(T.DoubleType())),
+    ]))
     def to_geo(wkt: pd.Series, a: pd.Series, b: pd.Series, c: pd.Series,
-               d: pd.Series, e: pd.Series, f: pd.Series) -> pd.Series:
-        out = []
+               d: pd.Series, e: pd.Series, f: pd.Series) -> pd.DataFrame:
+        ws, bs = [], []
         for i in range(len(wkt)):
             t = (a.iat[i], b.iat[i], c.iat[i], d.iat[i], e.iat[i], f.iat[i])
-            out.append(G.transform_wkt(wkt.iat[i], t))
-        return pd.Series(out)
+            w = G.transform_wkt(wkt.iat[i], t)
+            ws.append(w)
+            bs.append(list(G.geom_bounds(w)))
+        return pd.DataFrame({"wkt": ws, "bbox": bs})
 
-    return lb.withColumn("wkt_geo", to_geo("wkt_pix", "a", "b", "c", "d", "e", "f")) \
-             .select("image_id", "label_id", "wkt_geo")
+    return (lb.withColumn("_g", to_geo("wkt_pix", "a", "b", "c", "d", "e", "f"))
+            .select("image_id", "label_id",
+                    F.col("_g.wkt").alias("wkt_geo"),
+                    F.col("_g.bbox").alias("bbox")))
 
 
 def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
@@ -360,11 +371,13 @@ def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
     g = grid.alias("g")
     lab = labels_geo_df.alias("l")
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def bbox(wkt: pd.Series) -> pd.Series:
-        return pd.Series([list(G.geom_bounds(w)) for w in wkt])
+    if "bbox" not in labels_geo_df.columns:
+        # labels that didn't come through labels_geo: derive bounds here
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def bbox(wkt: pd.Series) -> pd.Series:
+            return pd.Series([list(G.geom_bounds(w)) for w in wkt])
 
-    lab = lab.withColumn("bbox", bbox("wkt_geo"))
+        lab = lab.withColumn("bbox", bbox("wkt_geo"))
     # tile span per image comes from the grid itself (min xmin, tile size)
     gdim = grid.groupBy("image_id").agg(
         F.min("xmin").alias("gx0"), F.min("ymin").alias("gy0"),
@@ -420,6 +433,11 @@ def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
         return pd.DataFrame({"wkt_clip": wkts, "wkt_pix": pixs,
                              "origarea": oas, "clip_area": cas})
 
+    # asNondeterministic: the partialDec filter + the column projection
+    # otherwise split the struct reference across Filter and Project and the
+    # optimizer duplicates the UDF — every candidate was clipped TWICE
+    # (two ArrowEvalPython nodes in the physical plan).
+    clip = clip.asNondeterministic()
     joined = joined.withColumn("cl", clip("wkt_geo", "g.xmin", "g.ymin", "g.xmax", "g.ymax"))
     out = (joined
            .withColumn("origarea", F.col("cl.origarea"))
