@@ -1105,6 +1105,219 @@ SELECT * FROM (VALUES
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-2 operator queries (inference tiler, nadir-bin rollup, road graph,
+# dataset manifest, SpaceNet AOI eval) — oracles are genuine DuckDB
+# re-computations where SQL can express the math; the SpaceNet eval oracle
+# pins the reference's own published SN2_test_results.csv numbers.
+# ---------------------------------------------------------------------------
+
+
+def g_inference_tiler(spark, sf_dir):
+    """Edge-clamped sliding window (InferenceTiler, nets/datagen.py:406-497):
+    per-image tile count and clamped max top-left indices."""
+    from solaris_spark.operators import tiling
+    from solaris_spark.sources import synth
+    images = synth.images_table(spark, 12, include_fixture=False)
+    t = tiling.inference_tiles(images, (64, 64), y_step=48, x_step=48)
+    return (t.groupBy("image_id")
+            .agg(F.count(F.lit(1)).alias("n_tiles"),
+                 F.max("row0").alias("max_row0"),
+                 F.max("col0").alias("max_col0"))
+            .orderBy("image_id"))
+
+
+def _sql_inference_tiler() -> str:
+    # deterministic seeded synth dims; DuckDB re-derives the clamp math
+    # (1 + ceil((dim-size)/step) windows, last clamps to dim - size)
+    dims = [("img_000000000000", 69, 249), ("img_000000000001", 96, 108),
+            ("img_000000000002", 175, 168), ("img_000000000003", 127, 170),
+            ("img_000000000004", 204, 156), ("img_000000000005", 166, 238),
+            ("img_000000000006", 181, 102), ("img_000000000007", 156, 185),
+            ("img_000000000008", 74, 98), ("img_000000000009", 229, 214),
+            ("img_000000000010", 165, 170), ("img_000000000011", 113, 200)]
+    vals = ",\n  ".join(f"('{i}', {w}, {h})" for i, w, h in dims)
+    return f"""
+WITH dims(image_id, w, h) AS (VALUES
+  {vals})
+SELECT image_id,
+       CAST((1 + CAST(ceil((h - 64) / 48.0) AS BIGINT))
+            * (1 + CAST(ceil((w - 64) / 48.0) AS BIGINT)) AS BIGINT) AS n_tiles,
+       CAST(h - 64 AS INTEGER) AS max_row0,
+       CAST(w - 64 AS INTEGER) AS max_col0
+FROM dims ORDER BY image_id
+"""
+
+
+_NADIR_SCORES = [
+    ("Atlanta_nadir7_catid_1030010003D22F00_1", 5, 1, 2),
+    ("Atlanta_nadir7_catid_1030010003D22F00_2", 3, 1, 0),
+    ("Atlanta_nadir27_catid_1030010003472200_1", 4, 2, 3),
+    ("Atlanta_nadir42_catid_10300100035D1B00_1", 1, 4, 5),
+    ("Atlanta_nadir53_catid_1030010003193D00_1", 2, 2, 2),
+]
+
+
+def g_nadir_rollup(spark, sf_dir):
+    """SpaceNet-4 off-nadir scoring: imageID → nadir bin (regex + broadcast
+    lookup, challenges.py:144-177) then sum-and-recompute rollup."""
+    from solaris_spark.operators import challenges, evalops
+    scores = spark.createDataFrame(
+        _NADIR_SCORES,
+        "image_id string, TruePos long, FalsePos long, FalseNeg long")
+    binned = challenges.with_nadir_bin(scores)
+    out = evalops.aoi_rollup(binned, aoi_col="nadir_category")
+    return out.select(
+        "nadir_category", "TruePos", "FalsePos", "FalseNeg",
+        F.round("Precision", 6).alias("precision"),
+        F.round("Recall", 6).alias("recall"),
+        F.round("F1Score", 6).alias("f1")).orderBy("nadir_category")
+
+
+def _sql_nadir_rollup() -> str:
+    from solaris_spark.operators.challenges import OFF_NADIR_BINS
+    score_vals = ",\n  ".join(
+        f"('{i}', {tp}, {fp}, {fn})" for i, tp, fp, fn in _NADIR_SCORES)
+    bin_vals = ",\n  ".join(f"('{k}', '{v}')"
+                            for k, v in sorted(OFF_NADIR_BINS.items()))
+    return f"""
+WITH scores(image_id, tp, fp, fn) AS (VALUES
+  {score_vals}),
+bins(chip_id, nadir_category) AS (VALUES
+  {bin_vals}),
+keyed AS (
+  SELECT regexp_extract(image_id,
+           'Atlanta_nadir[0-9]{{1,2}}_catid_[0-9A-Z]{{16}}', 0) AS chip_id,
+         tp, fp, fn
+  FROM scores),
+agg AS (
+  SELECT nadir_category, CAST(SUM(tp) AS BIGINT) AS TruePos,
+         CAST(SUM(fp) AS BIGINT) AS FalsePos,
+         CAST(SUM(fn) AS BIGINT) AS FalseNeg
+  FROM keyed JOIN bins USING (chip_id) GROUP BY nadir_category)
+SELECT nadir_category, TruePos, FalsePos, FalseNeg,
+       ROUND(CASE WHEN TruePos + FalsePos > 0
+                  THEN TruePos / CAST(TruePos + FalsePos AS DOUBLE)
+                  ELSE 0 END, 6) AS precision,
+       ROUND(CASE WHEN TruePos + FalseNeg > 0
+                  THEN TruePos / CAST(TruePos + FalseNeg AS DOUBLE)
+                  ELSE 0 END, 6) AS recall,
+       ROUND(CASE WHEN (TruePos / CAST(TruePos + FalsePos AS DOUBLE))
+                       * (TruePos / CAST(TruePos + FalseNeg AS DOUBLE)) > 0
+                  THEN 2 * (TruePos / CAST(TruePos + FalsePos AS DOUBLE))
+                         * (TruePos / CAST(TruePos + FalseNeg AS DOUBLE))
+                       / ((TruePos / CAST(TruePos + FalsePos AS DOUBLE))
+                          + (TruePos / CAST(TruePos + FalseNeg AS DOUBLE)))
+                  ELSE 0 END, 6) AS f1
+FROM agg ORDER BY nadir_category
+"""
+
+
+_ROADS = [
+    (1, "LINESTRING (0 0, 3 4, 6 8)"),
+    (2, "LINESTRING (6 8, 10 8, 10 12)"),
+    (3, "MULTILINESTRING ((0 0, 0 5), (20 20, 24 23, 28 26))"),
+]
+
+
+def g_road_graph(spark, sf_dir):
+    """Road-graph construction (vector/graph.py geojson_to_graph): exploded
+    vertices, deduped nodes, Euclidean edge weights — per-road edge count,
+    total length, distinct touched nodes."""
+    from solaris_spark.operators import graph as graphops
+    roads = spark.createDataFrame(_ROADS, "road_id long, wkt string")
+    nodes, edges = graphops.build_graph(roads)
+    return (edges.groupBy("road_id")
+            .agg(F.count(F.lit(1)).alias("n_edges"),
+                 F.round(F.sum("weight"), 6).alias("total_len"),
+                 F.countDistinct("src").alias("n_src_nodes"))
+            .orderBy("road_id"))
+
+
+def _sql_road_graph() -> str:
+    # vertices of the same roads as (road_id, part, seq, x, y) — DuckDB
+    # re-derives consecutive-vertex edges and Euclidean weights
+    verts = []
+    for rid, wkt in _ROADS:
+        body = wkt.split(" ", 1)[1]
+        parts = [p.strip(" ()") for p in body[1:-1].split("),")] \
+            if wkt.startswith("MULTI") else [body.strip("()")]
+        for pi, part in enumerate(parts):
+            pts = [tuple(map(float, v.split())) for v in part.split(",")]
+            verts += [(rid, pi, si, x, y) for si, (x, y) in enumerate(pts)]
+    vals = ",\n  ".join(f"({r}, {p}, {s}, {x!r}::DOUBLE, {y!r}::DOUBLE)"
+                        for r, p, s, x, y in verts)
+    return f"""
+WITH v(road_id, part, seq, x, y) AS (VALUES
+  {vals}),
+e AS (
+  SELECT a.road_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM v a JOIN v b ON a.road_id = b.road_id AND a.part = b.part
+                    AND b.seq = a.seq + 1)
+SELECT road_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(SUM(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))), 6)
+         AS total_len,
+       CAST(COUNT(DISTINCT (x1, y1)) AS BIGINT) AS n_src_nodes
+FROM e GROUP BY road_id ORDER BY road_id
+"""
+
+
+def g_dataset_manifest(spark, sf_dir):
+    """Image/label manifest builder (utils/data.py make_dataset_csv):
+    stem matching + skip policy over a deterministic temp layout."""
+    import os
+    import tempfile
+
+    from solaris_spark.sources import dataset
+    d = tempfile.mkdtemp(prefix="manifest_q_")
+    os.makedirs(f"{d}/im", exist_ok=True)
+    os.makedirs(f"{d}/lb", exist_ok=True)
+    for n in ("a", "b", "c"):
+        open(f"{d}/im/{n}.tif", "w").write("x")
+        open(f"{d}/lb/{n}.json", "w").write("x")
+    open(f"{d}/im/orphan.tif", "w").write("x")
+    m = dataset.make_dataset_manifest(spark, f"{d}/im", "tif",
+                                      f"{d}/lb", "json",
+                                      ignore_mismatch="skip")
+    base = F.element_at(F.split(F.col("image"), "/"), -1)
+    lbase = F.element_at(F.split(F.col("label"), "/"), -1)
+    return m.select(base.alias("image"), lbase.alias("label")) \
+        .orderBy("image")
+
+
+SQL_DATASET_MANIFEST = """
+SELECT * FROM (VALUES
+  ('a.tif', 'a.json'), ('b.tif', 'b.json'), ('c.tif', 'c.json')
+) AS t(image, label)
+"""
+
+
+def g_spacenet_aoi_eval(spark, sf_dir):
+    """Full SpaceNet-2 competition scoring from the reference's own CSVs —
+    the oracle VALUES are the reference's published SN2_test_results.csv."""
+    from solaris_spark.operators import challenges
+    ref = "/root/reference/solaris/data"
+    per_bin, _ = challenges.spacenet_buildings_eval(
+        spark, f"{ref}/SN2_sample_preds.csv", f"{ref}/SN2_sample_truth.csv",
+        miniou=0.5, min_area=20, challenge="spacenet_2")
+    return per_bin.select(
+        "AOI", "TruePos", "FalsePos", "FalseNeg",
+        F.round("Precision", 6).alias("precision"),
+        F.round("Recall", 6).alias("recall"),
+        F.round("F1Score", 6).alias("f1")).orderBy("AOI")
+
+
+# the reference's own numbers (SN2_test_results.csv)
+SQL_SPACENET_AOI = """
+SELECT * FROM (VALUES
+  ('AOI_2_Vegas', CAST(35 AS BIGINT), CAST(2 AS BIGINT), CAST(7 AS BIGINT),
+   CAST(0.945946 AS DOUBLE), CAST(0.833333 AS DOUBLE), CAST(0.886076 AS DOUBLE)),
+  ('AOI_5_Khartoum', CAST(52 AS BIGINT), CAST(55 AS BIGINT), CAST(75 AS BIGINT),
+   CAST(0.485981 AS DOUBLE), CAST(0.409449 AS DOUBLE), CAST(0.444444 AS DOUBLE))
+) AS t(AOI, TruePos, FalsePos, FalseNeg, precision, recall, f1)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_rollup": q_pricing_rollup,
@@ -1142,6 +1355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": g_frame_sample,
         "scot_tracking": g_scot,
         "pixel_metrics": g_pixel_metrics,
+        "inference_tiler": g_inference_tiler,
+        "nadir_rollup": g_nadir_rollup,
+        "road_graph": g_road_graph,
+        "dataset_manifest": g_dataset_manifest,
+        "spacenet_aoi_eval": g_spacenet_aoi_eval,
     }
 
 
@@ -1181,6 +1399,11 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _sql_frame_sample(),
         "scot_tracking": SQL_SCOT_TRACKING,
         "pixel_metrics": SQL_PIXEL_METRICS,
+        "inference_tiler": _sql_inference_tiler(),
+        "nadir_rollup": _sql_nadir_rollup(),
+        "road_graph": _sql_road_graph(),
+        "dataset_manifest": SQL_DATASET_MANIFEST,
+        "spacenet_aoi_eval": SQL_SPACENET_AOI,
         # still rows-only (approximate/non-SQL by design): phash_neardup
         # would be a VALUES echo of LSH structure already brute-force-tested
         # in tests; ivf_knn is approximate (n_probe < n_cells) so a SQL
