@@ -1318,6 +1318,58 @@ SELECT * FROM (VALUES
 """
 
 
+def g_tile_fidelity(spark, sf_dir):
+    """BASELINE invariant check as a query: tile → stitch round trip per
+    image with decoded-pixel PSNR (exact round trip ⇒ ∞, reported clamped
+    at 99 ≥ the 40 dB bar) and caption equality through the pipeline."""
+    from solaris_spark.functions import raster as R
+    from solaris_spark.operators import imageops, tiling
+    from solaris_spark.sources import synth
+
+    images = synth.images_table(spark, 8, include_fixture=False)
+    geo = synth.image_geo_table(spark, images)
+    tiles = tiling.raster_tiles(tiling.with_geo(images, geo), (48, 48))
+    stitched = imageops.stitch_tiles(
+        tiles, images.select("image_id", "w", "h"))
+    j = (stitched.withColumnRenamed("pixels", "rt_pixels")
+         .withColumnRenamed("nchan", "rt_nchan")
+         .join(images.select("image_id", "bytes", "w", "h", "fmt",
+                             "caption"), ["image_id", "w", "h"]))
+
+    @F.pandas_udf("double")
+    def rt_psnr(orig: pd.Series, rt: pd.Series, w: pd.Series, h: pd.Series,
+                nch: pd.Series) -> pd.Series:
+        import numpy as np
+        out = []
+        for i in range(len(orig)):
+            c = int(nch.iat[i])
+            a = np.frombuffer(orig.iat[i], dtype=np.uint8).reshape(
+                c, int(h.iat[i]), int(w.iat[i]))
+            b = np.frombuffer(rt.iat[i], dtype=np.uint8).reshape(
+                c, int(h.iat[i]), int(w.iat[i]))
+            out.append(min(R.psnr(a, b), 99.0))
+        return pd.Series(out)
+
+    return (j.select(
+        "image_id",
+        F.round(rt_psnr("bytes", "rt_pixels", "w", "h", "rt_nchan"), 2)
+        .alias("psnr_db"),
+        # caption survives the pipeline join unchanged (caption-equality
+        # invariant); deterministic seeded value → oracle-checkable
+        F.md5(F.col("caption")).alias("caption_md5"))
+        .orderBy("image_id"))
+
+
+def _sql_tile_fidelity() -> str:
+    from solaris_spark.sources import synth
+    rows = [synth.synth_image_row(42, i, 64, 256) for i in range(8)]
+    vals = ",\n  ".join(
+        f"('{r['image_id']}', CAST(99.0 AS DOUBLE), md5('{r['caption']}'))"
+        for r in rows)
+    return (f"SELECT * FROM (VALUES\n  {vals}\n) "
+            "AS t(image_id, psnr_db, caption_md5)")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_rollup": q_pricing_rollup,
@@ -1360,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "road_graph": g_road_graph,
         "dataset_manifest": g_dataset_manifest,
         "spacenet_aoi_eval": g_spacenet_aoi_eval,
+        "tile_fidelity": g_tile_fidelity,
     }
 
 
@@ -1404,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
         "road_graph": _sql_road_graph(),
         "dataset_manifest": SQL_DATASET_MANIFEST,
         "spacenet_aoi_eval": SQL_SPACENET_AOI,
+        "tile_fidelity": _sql_tile_fidelity(),
         # still rows-only (approximate/non-SQL by design): phash_neardup
         # would be a VALUES echo of LSH structure already brute-force-tested
         # in tests; ivf_knn is approximate (n_probe < n_cells) so a SQL
