@@ -142,35 +142,74 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame,
     return j.filter(pip(F.col(x), F.col(y), F.col(wkt_col)))
 
 
-def knn_join(queries: DataFrame, targets: DataFrame, k: int,
-             cell_size: float, x="x", y="y", qid="qid", tid="tid",
-             max_ring: int = 4) -> DataFrame:
-    """Approximate-exact kNN: candidates from the (2·ring+1)² cell
-    neighborhood (ring chosen so the k-th neighbor is inside with high
-    probability at uniform density; increase `max_ring` or `cell_size` for
-    sparse data), exact Euclidean distance, window top-k per query.
-
-    Exactness contract: exact when the true k-th neighbor lies within
-    `max_ring` cells — callers size cell_size ≈ expected kNN radius.
-    Returns (qid, tid, dist, rank)."""
-    q = queries.select(qid, F.col(x).alias("_qx"), F.col(y).alias("_qy"))
-    t = targets.select(tid, F.col(x).alias("_tx"), F.col(y).alias("_ty"))
-    ring = F.sequence(F.lit(-max_ring), F.lit(max_ring))
-    q = (q.withColumn("_qcx", F.floor(F.col("_qx") / F.lit(cell_size)).cast("long"))
-         .withColumn("_qcy", F.floor(F.col("_qy") / F.lit(cell_size)).cast("long"))
-         .withColumn("_dx", F.explode(ring))
-         .withColumn("_dy", F.explode(ring))
-         .withColumn("_cx", F.col("_qcx") + F.col("_dx"))
-         .withColumn("_cy", F.col("_qcy") + F.col("_dy")))
-    t = (t.withColumn("_cx", F.floor(F.col("_tx") / F.lit(cell_size)).cast("long"))
-         .withColumn("_cy", F.floor(F.col("_ty") / F.lit(cell_size)).cast("long")))
-    j = q.join(t, ["_cx", "_cy"])
+def _knn_pass(q: DataFrame, t: DataFrame, k: int, cell_size: float,
+              ring: int, qid: str, tid: str) -> DataFrame:
+    """One kNN candidate pass at a fixed ring: (2·ring+1)² cell explode,
+    exact distance, window top-k.  Returns (qid, tid, dist, rank)."""
+    seq = F.sequence(F.lit(-ring), F.lit(ring))
+    qq = (q.withColumn("_dx", F.explode(seq))
+          .withColumn("_dy", F.explode(seq))
+          .withColumn("_cx", F.col("_qcx") + F.col("_dx"))
+          .withColumn("_cy", F.col("_qcy") + F.col("_dy")))
+    j = qq.join(t, ["_cx", "_cy"])
     j = j.withColumn("dist", F.sqrt((F.col("_qx") - F.col("_tx")) ** 2
                                     + (F.col("_qy") - F.col("_ty")) ** 2))
     w = Window.partitionBy(qid).orderBy(F.asc("dist"), F.asc(tid))
     return (j.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(qid, tid, "dist", "rank"))
+
+
+def knn_join(queries: DataFrame, targets: DataFrame, k: int,
+             cell_size: float, x="x", y="y", qid="qid", tid="tid",
+             max_ring: int = 4, adaptive: bool = True) -> DataFrame:
+    """Exact-within-radius kNN via cell-neighborhood candidates.
+
+    Adaptive ring expansion (default): pass 1 explodes only the 3×3
+    neighborhood; a query SETTLES when it has k neighbors and its k-th
+    distance ≤ ring·cell_size (every unexplored point is farther than
+    that, so the result is provably exact).  Unsettled queries — sparse
+    neighborhoods — retry at doubled ring up to `max_ring`.  At uniform
+    density almost everything settles in pass 1, so candidate volume is
+    9× per query instead of the single-pass (2·max_ring+1)² (up to 81×,
+    VERDICT r01 'conditionally scales').  The trade: up to
+    log₂(max_ring)+1 bounded re-joins against the target cell table over a
+    geometrically shrinking query set.
+
+    Exactness contract (both modes): exact when the true k-th neighbor
+    lies within `max_ring` cells — callers size cell_size ≈ expected kNN
+    radius.  Returns (qid, tid, dist, rank)."""
+    q = (queries.select(qid, F.col(x).alias("_qx"), F.col(y).alias("_qy"))
+         .withColumn("_qcx", F.floor(F.col("_qx") / F.lit(cell_size)).cast("long"))
+         .withColumn("_qcy", F.floor(F.col("_qy") / F.lit(cell_size)).cast("long")))
+    t = (targets.select(tid, F.col(x).alias("_tx"), F.col(y).alias("_ty"))
+         .withColumn("_cx", F.floor(F.col("_tx") / F.lit(cell_size)).cast("long"))
+         .withColumn("_cy", F.floor(F.col("_ty") / F.lit(cell_size)).cast("long")))
+    if not adaptive:
+        return _knn_pass(q, t, k, cell_size, max_ring, qid, tid)
+
+    done = []
+    ring = 1
+    while True:
+        res = _knn_pass(q, t, k, cell_size, ring, qid, tid)
+        if ring >= max_ring:
+            done.append(res)
+            break
+        settled = (res.groupBy(qid)
+                   .agg(F.count(F.lit(1)).alias("_n"),
+                        F.max("dist").alias("_kth"))
+                   .filter((F.col("_n") >= k)
+                           & (F.col("_kth") <= ring * cell_size))
+                   .select(qid))
+        done.append(res.join(settled, qid, "left_semi"))
+        q = q.join(settled, qid, "left_anti")
+        if q.isEmpty():
+            break
+        ring = min(ring * 2, max_ring)
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 # ---------------------------------------------------------------------------
