@@ -229,6 +229,9 @@ Scaling efficiency (local[{N_LO}]→local[{N_HI}], i.e. N→4N): **{result['scal
 Configs: shuffle.partitions = 4×cores, AQE + skew-join on, parquet zstd.
 Relational query timings: bench.py → BENCH_r{{N}}.json per round.
 """
+    if os.environ.get("SCALE_NO_MD"):
+        print("SCALE_NO_MD set — BENCH/BASELINE.md left untouched")
+        return
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print("wrote BENCH/BASELINE.md")
