@@ -1318,6 +1318,41 @@ SELECT * FROM (VALUES
 """
 
 
+def g_ivf_knn_exact(spark, sf_dir):
+    """IVF ANN with n_probe == n_cells: every cell is probed, so the result
+    is PROVABLY exhaustive — this oracles the full IVF machinery (centroid
+    training, cell assignment, probe, cosine refine, top-k) against a
+    DuckDB brute force, while `ivf_knn` itself stays the approximate
+    production path (rows-only)."""
+    from solaris_spark.operators import ann
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    t = e.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("tv"))
+    return (ann.ivf_knn(q, t, k=3, n_cells=8, n_probe=8)
+            .withColumn("cosine", F.round("cosine", 6))
+            .orderBy("qid", "rank"))
+
+
+SQL_IVF_EXACT = """
+WITH u AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT q.vec_id AS qid, t.vec_id AS tid,
+         list_dot_product(q.v, t.v) /
+           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v)))
+           AS cosine
+  FROM u q, u t WHERE q.vec_id < 10 AND q.vec_id != t.vec_id),
+r AS (
+  SELECT qid, tid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, tid ASC)
+           AS rank
+  FROM p)
+SELECT qid, tid, CAST(rank AS INTEGER) AS rank, ROUND(cosine, 6) AS cosine
+FROM r WHERE rank <= 3 ORDER BY qid, rank
+"""
+
+
 def g_tile_fidelity(spark, sf_dir):
     """BASELINE invariant check as a query: tile → stitch round trip per
     image with decoded-pixel PSNR (exact round trip ⇒ ∞, reported clamped
@@ -1413,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_manifest": g_dataset_manifest,
         "spacenet_aoi_eval": g_spacenet_aoi_eval,
         "tile_fidelity": g_tile_fidelity,
+        "ivf_knn_exact": g_ivf_knn_exact,
     }
 
 
@@ -1458,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_manifest": SQL_DATASET_MANIFEST,
         "spacenet_aoi_eval": SQL_SPACENET_AOI,
         "tile_fidelity": _sql_tile_fidelity(),
+        "ivf_knn_exact": SQL_IVF_EXACT,
         # still rows-only (approximate/non-SQL by design): phash_neardup
         # would be a VALUES echo of LSH structure already brute-force-tested
         # in tests; ivf_knn is approximate (n_probe < n_cells) so a SQL
