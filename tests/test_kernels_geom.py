@@ -183,3 +183,31 @@ class TestBatchedSegmentIntersect:
         # empty
         assert not G.any_segments_intersect(np.empty((0, 4)),
                                             np.array([[0., 0., 1., 1.]]))
+
+
+class TestAffineGdfGolden:
+    def test_sample_csv_affine_golden(self):
+        """affine_transform_gdf parity: sample.csv pixel footprints through
+        the sample_geotiff affine with precision=0 match aff_gdf_result.csv
+        coordinate-for-coordinate (/root/reference/tests/test_vector/
+        test_polygon.py:70-77)."""
+        import csv
+
+        import numpy as np
+
+        from solaris_spark.functions.tiffio import read_tiff
+        DATA = "/root/reference/solaris/data"
+        t = tuple(float(v) for v in
+                  read_tiff(f"{DATA}/sample_geotiff.tif").transform)
+        with open(f"{DATA}/sample.csv") as fh:
+            src = [r["PolygonWKT_Pix"] for r in csv.DictReader(fh)]
+        with open(f"{DATA}/aff_gdf_result.csv") as fh:
+            exp = [r["geometry"] for r in csv.DictReader(fh)]
+        assert len(src) == len(exp)
+        for wp, we in zip(src, exp):
+            got = G.transform_wkt(wp, t)
+            rg = [np.round(r, 0) for r in G.wkt_parse(got)[1]]
+            re_ = list(G.wkt_parse(we)[1])
+            assert len(rg) == len(re_)
+            for a, b in zip(rg, re_):
+                assert np.array_equal(a, b)
