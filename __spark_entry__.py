@@ -1405,6 +1405,50 @@ def _sql_tile_fidelity() -> str:
             "AS t(image_id, psnr_db, caption_md5)")
 
 
+
+
+# ivf_knn is approximate by DESIGN (n_probe < n_cells) — its correctness
+# evidence is the exhaustive-mode twin `ivf_knn_exact` (DuckDB brute-force
+# hash-green) plus the recall-vs-brute-force tests.  This VALUES oracle
+# pins the approximate path's DETERMINISM: seeded centroids + stable
+# argmin/argsort tie-breaks make the output bit-stable across cluster
+# sizes (verified identical at local[4] and local[16]).
+SQL_IVF_KNN = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(1 AS INTEGER), CAST(0.369994 AS DOUBLE)),
+  (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(2 AS INTEGER), CAST(0.362722 AS DOUBLE)),
+  (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(3 AS INTEGER), CAST(0.331139 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(1 AS INTEGER), CAST(0.371485 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(2 AS INTEGER), CAST(0.348208 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(3 AS INTEGER), CAST(0.32701 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(1 AS INTEGER), CAST(0.318143 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(2 AS INTEGER), CAST(0.266344 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(3 AS INTEGER), CAST(0.263494 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(1 AS INTEGER), CAST(0.399872 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(2 AS INTEGER), CAST(0.329934 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(3 AS INTEGER), CAST(0.308472 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(1 AS INTEGER), CAST(0.398513 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(2 AS INTEGER), CAST(0.341212 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(3 AS INTEGER), CAST(0.322753 AS DOUBLE)),
+  (CAST(5 AS BIGINT), CAST(404 AS BIGINT), CAST(1 AS INTEGER), CAST(0.328403 AS DOUBLE)),
+  (CAST(5 AS BIGINT), CAST(419 AS BIGINT), CAST(2 AS INTEGER), CAST(0.319237 AS DOUBLE)),
+  (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(3 AS INTEGER), CAST(0.311256 AS DOUBLE)),
+  (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(1 AS INTEGER), CAST(0.324518 AS DOUBLE)),
+  (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(2 AS INTEGER), CAST(0.32252 AS DOUBLE)),
+  (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(3 AS INTEGER), CAST(0.297696 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(1 AS INTEGER), CAST(0.492766 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(2 AS INTEGER), CAST(0.40752 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(3 AS INTEGER), CAST(0.394463 AS DOUBLE)),
+  (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(1 AS INTEGER), CAST(0.384696 AS DOUBLE)),
+  (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(2 AS INTEGER), CAST(0.356671 AS DOUBLE)),
+  (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(3 AS INTEGER), CAST(0.338238 AS DOUBLE)),
+  (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(1 AS INTEGER), CAST(0.385171 AS DOUBLE)),
+  (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(2 AS INTEGER), CAST(0.3323 AS DOUBLE)),
+  (CAST(9 AS BIGINT), CAST(386 AS BIGINT), CAST(3 AS INTEGER), CAST(0.322118 AS DOUBLE))
+) AS t(qid, tid, rank, cosine)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_rollup": q_pricing_rollup,
@@ -1495,8 +1539,5 @@ def oracle_sql() -> dict[str, str]:
         "spacenet_aoi_eval": SQL_SPACENET_AOI,
         "tile_fidelity": _sql_tile_fidelity(),
         "ivf_knn_exact": SQL_IVF_EXACT,
-        # still rows-only (approximate/non-SQL by design): phash_neardup
-        # would be a VALUES echo of LSH structure already brute-force-tested
-        # in tests; ivf_knn is approximate (n_probe < n_cells) so a SQL
-        # brute force legitimately differs.
+        "ivf_knn": SQL_IVF_KNN,
     }

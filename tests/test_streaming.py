@@ -76,7 +76,7 @@ class TestStatefulSessions:
                  .writeStream.format("parquet")
                  .option("path", sink).option("checkpointLocation", ckpt)
                  .outputMode("append").trigger(availableNow=True).start())
-            q.awaitTermination(120)
+            assert q.awaitTermination(420), 'drain did not finish'
 
         # batch 1: user 1 has two events 100 s apart (one open session);
         # user 2 one event — nothing closes yet
