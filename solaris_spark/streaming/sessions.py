@@ -34,7 +34,7 @@ _STATE_SCHEMA = T.StructType([
 
 
 def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
-                      timeout_ms: int = 30_000) -> DataFrame:
+                      timeout_ms: int | None = 30_000) -> DataFrame:
     """events(user_id long, ts timestamp) → one row per CLOSED session plus
     a final open-session row on state timeout.
 
@@ -42,6 +42,11 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
     from `last` closes the current session (emitted with closed=true) and
     opens a new one.  Idle users time out after `timeout_ms` processing
     time and flush their open session.
+
+    timeout_ms=None disables timeouts (GroupStateTimeout.NoTimeout) —
+    required for availableNow drains that must TERMINATE: with a pending
+    processing-time timeout the trigger stays alive "cleaning up state"
+    until the timeout fires.  Use a timeout only with continuous triggers.
     """
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -76,11 +81,13 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
                 last = t
                 n += 1
         state.update((start, last, n))
-        state.setTimeoutDuration(timeout_ms)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         if out:
             yield pd.DataFrame(out)
 
+    conf = (GroupStateTimeout.ProcessingTimeTimeout if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout)
     return (events.groupBy("user_id").applyInPandasWithState(
         fn, outputStructType=SESSION_SCHEMA, stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+        outputMode="append", timeoutConf=conf))

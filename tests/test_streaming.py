@@ -68,11 +68,11 @@ class TestStatefulSessions:
             ev = (spark.readStream
                   .schema("user_id long, ts timestamp")
                   .json(str(src)))
-            # timeout effectively disabled: slow shared host can stretch a
-            # drain past any small processing-time timeout, flushing open
-            # sessions mid-test and making row counts nondeterministic
+            # timeout_ms=None (NoTimeout): availableNow must terminate, and
+            # any pending processing-time timeout keeps the trigger alive
+            # "cleaning up state" until it fires
             q = (sessions.sessionize_stream(ev, gap_sec=1800,
-                                            timeout_ms=10 ** 9)
+                                            timeout_ms=None)
                  .writeStream.format("parquet")
                  .option("path", sink).option("checkpointLocation", ckpt)
                  .outputMode("append").trigger(availableNow=True).start())
