@@ -1353,6 +1353,78 @@ FROM r WHERE rank <= 3 ORDER BY qid, rank
 """
 
 
+def _s2_points():
+    import numpy as np
+    rng = np.random.default_rng(21)
+    lats = rng.uniform(-80, 80, 400)
+    lngs = rng.uniform(-179, 179, 400)
+    return lats, lngs
+
+
+def g_s2_cells(spark, sf_dir):
+    """S2-style spherical cell keys (north_rule: H3/S2 cell encoding):
+    seeded lat/lng points keyed at level 6, grouped per cell.  The oracle
+    re-derives the FULL construction (cube face, gnomonic uv, quadratic
+    st, quad ij) in DuckDB SQL from the same point literals."""
+    from solaris_spark.operators import joins
+    lats, lngs = _s2_points()
+    df = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in
+         enumerate(zip(lats, lngs))], "pid int, lat double, lng double")
+    return (joins.with_s2_cell(df, level=6)
+            .groupBy("s2_cell").agg(F.count(F.lit(1)).alias("n"),
+                                    F.min("pid").alias("first_pid"))
+            .orderBy("s2_cell"))
+
+
+def _sql_s2_cells() -> str:
+    lats, lngs = _s2_points()
+    vals = ",\n  ".join(f"({i}, {a!r}::DOUBLE, {b!r}::DOUBLE)"
+                        for i, (a, b) in enumerate(zip(lats, lngs)))
+    return f"""
+WITH pts(pid, lat, lng) AS (VALUES
+  {vals}),
+xyz AS (
+  SELECT pid,
+         cos(radians(lat)) * cos(radians(lng)) AS x,
+         cos(radians(lat)) * sin(radians(lng)) AS y,
+         sin(radians(lat)) AS z
+  FROM pts),
+fc AS (
+  SELECT pid, x, y, z,
+         CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+              THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+              WHEN abs(y) >= abs(z)
+              THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+              ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face
+  FROM xyz),
+uv AS (
+  SELECT pid, face,
+         CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+                   WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS u,
+         CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+                   WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS v
+  FROM fc),
+st AS (
+  SELECT pid, face,
+         CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u)
+              ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+         CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v)
+              ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+  FROM uv),
+cells AS (
+  SELECT pid,
+         'f' || face || '_' ||
+         CAST(LEAST(GREATEST(floor(s * 64), 0), 63) AS BIGINT) || '_' ||
+         CAST(LEAST(GREATEST(floor(t * 64), 0), 63) AS BIGINT) || '@6'
+           AS s2_cell
+  FROM st)
+SELECT s2_cell, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(pid) AS INTEGER) AS first_pid
+FROM cells GROUP BY s2_cell ORDER BY s2_cell
+"""
+
+
 def g_tile_fidelity(spark, sf_dir):
     """BASELINE invariant check as a query: tile → stitch round trip per
     image with decoded-pixel PSNR (exact round trip ⇒ ∞, reported clamped
@@ -1493,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spacenet_aoi_eval": g_spacenet_aoi_eval,
         "tile_fidelity": g_tile_fidelity,
         "ivf_knn_exact": g_ivf_knn_exact,
+        "s2_cells": g_s2_cells,
     }
 
 
@@ -1540,4 +1613,5 @@ def oracle_sql() -> dict[str, str]:
         "tile_fidelity": _sql_tile_fidelity(),
         "ivf_knn_exact": SQL_IVF_EXACT,
         "ivf_knn": SQL_IVF_KNN,
+        "s2_cells": _sql_s2_cells(),
     }

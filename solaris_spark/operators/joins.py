@@ -142,6 +142,24 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame,
     return j.filter(pip(F.col(x), F.col(y), F.col(wkt_col)))
 
 
+def with_s2_cell(df: DataFrame, lat_col: str = "lat", lng_col: str = "lng",
+                 level: int = 12, out_col: str = "s2_cell") -> DataFrame:
+    """Attach an S2-style spherical cell key (functions/s2cells.py: true S2
+    face projection + quadratic st transform, quad position at `level`) —
+    the geodetic counterpart of the planar cell_id key for equi-join
+    pruning on lat/lng data (BASELINE north_rule: H3/S2 cell encoding).
+    Parent cells are derivable by halving (i, j), so multi-resolution
+    pruning works without recomputation."""
+    from ..functions import s2cells as S2
+
+    @F.pandas_udf(T.StringType())
+    def tok(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        return pd.Series(S2.cell_token(lat.to_numpy(), lng.to_numpy(),
+                                       level))
+
+    return df.withColumn(out_col, tok(F.col(lat_col), F.col(lng_col)))
+
+
 def _knn_pass(q: DataFrame, t: DataFrame, k: int, cell_size: float,
               ring: int, qid: str, tid: str) -> DataFrame:
     """One kNN candidate pass at a fixed ring: (2·ring+1)² cell explode,

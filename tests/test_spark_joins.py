@@ -148,3 +148,57 @@ class TestLineage:
         assert spark.read.parquet(out).count() == 1000
         # 2 input scans (+ slack for Spark's occasional partition retries)
         assert acc.value <= 2500, f"input scanned too often: {acc.value}"
+
+
+class TestS2Cells:
+    def test_faces_and_ranges(self):
+        import numpy as np
+
+        from solaris_spark.functions import s2cells as S2
+        # points straight at each cube face center
+        lats = np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0])
+        lngs = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+        face, i, j = S2.cell_ij(lats, lngs, level=10)
+        assert list(face) == [0, 1, 2, 3, 4, 5]
+        # face centers → st = 0.5 → middle cell (±1 for the float-exact
+        # boundary at lng=180 where sin(pi) ~ 1e-16)
+        assert np.isin(i, (511, 512)).all() and np.isin(j, (511, 512)).all()
+
+    def test_roundtrip_center_same_cell(self):
+        import numpy as np
+
+        from solaris_spark.functions import s2cells as S2
+        rng = np.random.default_rng(13)
+        lats = rng.uniform(-85, 85, 200)
+        lngs = rng.uniform(-179, 179, 200)
+        level = 12
+        face, i, j = S2.cell_ij(lats, lngs, level)
+        for k in range(200):
+            clat, clng = S2.cell_center_lat_lng(face[k], i[k], j[k], level)
+            f2, i2, j2 = S2.cell_ij(np.array([clat]), np.array([clng]), level)
+            assert (f2[0], i2[0], j2[0]) == (face[k], i[k], j[k]), k
+
+    def test_parent_containment(self):
+        import numpy as np
+
+        from solaris_spark.functions import s2cells as S2
+        rng = np.random.default_rng(14)
+        lats = rng.uniform(-85, 85, 100)
+        lngs = rng.uniform(-179, 179, 100)
+        t12 = S2.cell_token(lats, lngs, 12)
+        t11 = S2.cell_token(lats, lngs, 11)
+        assert all(S2.parent_token(a) == b for a, b in zip(t12, t11))
+
+    def test_spark_column_and_join_pruning(self, spark):
+        """with_s2_cell keys an equi-join: nearby points share a cell,
+        far ones don't."""
+        import numpy as np
+
+        from solaris_spark.operators import joins
+        rows = [(0, 37.7749, -122.4194), (1, 37.7750, -122.4195),  # ~15 m
+                (2, 40.7128, -74.0060)]                            # NYC
+        df = spark.createDataFrame(rows, "pid int, lat double, lng double")
+        out = joins.with_s2_cell(df, level=10).collect()
+        cells = {r["pid"]: r["s2_cell"] for r in out}
+        assert cells[0] == cells[1] != cells[2]
+        assert cells[0].endswith("@10")
