@@ -51,11 +51,17 @@ def _load_label_rows(source_file: str, geom_col: str):
 
 def make_masks_main(argv=None, spark=None) -> str:
     """bin/make_masks.py parity: vector labels + reference image → training
-    mask TIFF with footprint/edge/contact channels."""
+    mask TIFF with footprint/edge/contact channels.
+
+    `--batch --argument_csv FILE` mirrors the reference's batch mode
+    (bin/make_masks.py --batch/-a: one row per job with source_file,
+    reference_image, output_path[, geometry_column] columns) — but where
+    the reference fans out a multiprocessing Pool, ALL batch rows here run
+    as ONE distributed Spark job (one image_masks group per row)."""
     p = argparse.ArgumentParser(description="Create training pixel masks")
-    p.add_argument("--source_file", "-s", required=True)
-    p.add_argument("--reference_image", "-r", required=True)
-    p.add_argument("--output_path", "-o", required=True)
+    p.add_argument("--source_file", "-s")
+    p.add_argument("--reference_image", "-r")
+    p.add_argument("--output_path", "-o")
     p.add_argument("--geometry_column", "-g", default="geometry")
     p.add_argument("--transform", "-t", action="store_true", default=False)
     p.add_argument("--footprint", "-f", action="store_true", default=False)
@@ -64,41 +70,66 @@ def make_masks_main(argv=None, spark=None) -> str:
     p.add_argument("--edge_type", "-et", default="inner")
     p.add_argument("--contact", "-c", action="store_true", default=False)
     p.add_argument("--contact_spacing", "-cs", type=int, default=10)
+    p.add_argument("--batch", "-b", action="store_true", default=False)
+    p.add_argument("--argument_csv", "-a")
     a = p.parse_args(argv)
+
+    if a.batch:
+        if not a.argument_csv:
+            raise SystemExit("--batch requires --argument_csv")
+        with open(a.argument_csv) as fh:
+            jobs = list(csv.DictReader(fh))
+    else:
+        if not (a.source_file and a.reference_image and a.output_path):
+            raise SystemExit("-s, -r and -o are required (or use --batch)")
+        jobs = [dict(source_file=a.source_file,
+                     reference_image=a.reference_image,
+                     output_path=a.output_path,
+                     geometry_column=a.geometry_column)]
+
+    channels = []
+    if a.footprint:
+        channels.append("footprint")
+    if a.edge:
+        channels.append("boundary")
+    if a.contact:
+        channels.append("contact")
+    if not channels:
+        channels = ["footprint"]
 
     spark, own = _get_spark(spark)
     try:
         from .operators import masks as maskops
-        ref = read_tiff(a.reference_image)
-        h, w = ref.array.shape[1], ref.array.shape[2]
-        channels = []
-        if a.footprint:
-            channels.append("footprint")
-        if a.edge:
-            channels.append("boundary")
-        if a.contact:
-            channels.append("contact")
-        if not channels:
-            channels = ["footprint"]
-        wkts = _load_label_rows(a.source_file, a.geometry_column)
+        lab_rows, geo_rows, outs = [], [], {}
+        for k, job in enumerate(jobs):
+            img_id = f"img{k}"
+            outs[img_id] = job["output_path"]
+            ref = read_tiff(job["reference_image"])
+            h, w = ref.array.shape[1], ref.array.shape[2]
+            t = ref.transform
+            geo_rows.append((img_id, w, h, float(t[0]), float(t[1]),
+                             float(t[2]), float(t[3]), float(t[4]),
+                             float(t[5])))
+            gcol = job.get("geometry_column") or a.geometry_column
+            for i, wk in enumerate(_load_label_rows(job["source_file"], gcol)):
+                lab_rows.append((img_id, i, wk))
         lab = spark.createDataFrame(
-            [("img", i, wk) for i, wk in enumerate(wkts)],
-            "image_id string, label_id int, wkt_pix string")
-        t = ref.transform
+            lab_rows, "image_id string, label_id int, wkt_pix string")
         geo = spark.createDataFrame(
-            [("img", w, h, float(t[0]), float(t[1]), float(t[2]),
-              float(t[3]), float(t[4]), float(t[5]))],
+            geo_rows,
             "image_id string, w int, h int, a double, b double, c double, "
             "d double, e double, f double")
-        mk = maskops.image_masks(
+        mks = maskops.image_masks(
             lab, geo, channels=channels, do_transform=a.transform,
             boundary_width=a.edge_width, boundary_type=a.edge_type,
-            contact_spacing=a.contact_spacing).collect()[0]
-        arr = np.frombuffer(mk["mask"], dtype=np.uint8).reshape(
-            mk["h"], mk["w"], mk["nchan"])
-        out = arr[:, :, 0] if mk["nchan"] == 1 else np.moveaxis(arr, -1, 0)
-        write_tiff(a.output_path, out)
-        return a.output_path
+            contact_spacing=a.contact_spacing).collect()
+        for mk in mks:
+            arr = np.frombuffer(mk["mask"], dtype=np.uint8).reshape(
+                mk["h"], mk["w"], mk["nchan"])
+            out = (arr[:, :, 0] if mk["nchan"] == 1
+                   else np.moveaxis(arr, -1, 0))
+            write_tiff(outs[mk["image_id"]], out)
+        return jobs[-1]["output_path"]
     finally:
         if own:
             spark.stop()

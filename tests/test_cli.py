@@ -127,3 +127,27 @@ class TestMaskToPolygons:
             for f in gj["features"])
         set_px = int((mask > 0).sum())
         assert abs(area - set_px) / set_px < 0.05
+
+
+class TestMakeMasksBatch:
+    def test_batch_equals_single_runs(self, spark, tmp_path):
+        """--batch --argument_csv runs every row in ONE Spark job and each
+        output equals the corresponding single-run golden (the reference's
+        multiprocessing batch mode, bin/make_masks.py -b/-a)."""
+        import csv as _csv
+        args_csv = str(tmp_path / "args.csv")
+        out1 = str(tmp_path / "b_fp.tif")
+        out2 = str(tmp_path / "b_fp2.tif")
+        with open(args_csv, "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(["source_file", "reference_image", "output_path",
+                        "geometry_column"])
+            for out in (out1, out2):
+                w.writerow([os.path.join(DATA, "sample.csv"),
+                            os.path.join(DATA, "sample_geotiff.tif"),
+                            out, "PolygonWKT_Pix"])
+        cli.make_masks_main(["-b", "-a", args_csv, "-f"], spark=spark)
+        exp = read_tiff(os.path.join(EXPECTED, "sample_fp_mask.tif")).array
+        for out in (out1, out2):
+            got = read_tiff(out).array
+            assert np.array_equal(np.squeeze(got), np.squeeze(exp))
