@@ -247,39 +247,80 @@ def mask_to_polygons_main(argv=None, spark=None) -> str:
 def geotransform_footprints_main(argv=None, spark=None) -> str:
     """bin/geotransform_footprints.py parity: footprints ↔ pixel/geo frames
     via the reference image's affine (-p → pixels, -g → geo), optional
-    decimal rounding."""
+    decimal rounding.
+
+    `--batch --argument_csv FILE` (reference -b/-a: one row per job with
+    source_file, reference_image, output_path columns) fans the jobs out
+    over executors via mapInPandas — one task per geojson instead of the
+    reference's multiprocessing Pool."""
     p = argparse.ArgumentParser(description="Interconvert footprint frames")
-    p.add_argument("--source_file", "-s", required=True)
-    p.add_argument("--reference_image", "-r", required=True)
-    p.add_argument("--output_path", "-o", required=True)
+    p.add_argument("--source_file", "-s")
+    p.add_argument("--reference_image", "-r")
+    p.add_argument("--output_path", "-o")
     p.add_argument("--to_pixel", "-p", action="store_true", default=False)
     p.add_argument("--to_geo", "-g", action="store_true", default=False)
     p.add_argument("--decimal_precision", "-d", type=int, default=None)
+    p.add_argument("--batch", "-b", action="store_true", default=False)
+    p.add_argument("--argument_csv", "-a")
     a = p.parse_args(argv)
     if a.to_pixel == a.to_geo:
         raise SystemExit("specify exactly one of --to_pixel / --to_geo")
 
-    ref = read_tiff(a.reference_image)
-    t = tuple(float(v) for v in ref.transform)
-    aff = G.affine_invert(t) if a.to_pixel else t
+    def run_one(source_file, reference_image, output_path):
+        ref = read_tiff(reference_image)
+        t = tuple(float(v) for v in ref.transform)
+        aff = G.affine_invert(t) if a.to_pixel else t
 
-    def conv(coords):
-        arr = np.asarray(coords, dtype=np.float64)[:, :2]
-        out = G.affine_apply(arr, aff)
-        if a.decimal_precision is not None:
-            out = np.round(out, a.decimal_precision)
-        return out.tolist()
+        def conv(coords):
+            arr = np.asarray(coords, dtype=np.float64)[:, :2]
+            out = G.affine_apply(arr, aff)
+            if a.decimal_precision is not None:
+                out = np.round(out, a.decimal_precision)
+            return out.tolist()
 
-    gj = json.load(open(a.source_file))
-    for f in gj["features"]:
-        g = f["geometry"]
-        if g["type"] == "Polygon":
-            g["coordinates"] = [conv(r) for r in g["coordinates"]]
-        elif g["type"] == "MultiPolygon":
-            g["coordinates"] = [[conv(r) for r in poly]
-                                for poly in g["coordinates"]]
-        elif g["type"] in ("LineString",):
-            g["coordinates"] = conv(g["coordinates"])
-    with open(a.output_path, "w") as fh:
-        json.dump(gj, fh)
-    return a.output_path
+        gj = json.load(open(source_file))
+        for f in gj["features"]:
+            g = f["geometry"]
+            if g["type"] == "Polygon":
+                g["coordinates"] = [conv(r) for r in g["coordinates"]]
+            elif g["type"] == "MultiPolygon":
+                g["coordinates"] = [[conv(r) for r in poly]
+                                    for poly in g["coordinates"]]
+            elif g["type"] in ("LineString",):
+                g["coordinates"] = conv(g["coordinates"])
+        with open(output_path, "w") as fh:
+            json.dump(gj, fh)
+        return len(gj["features"])
+
+    if not a.batch:
+        if not (a.source_file and a.reference_image and a.output_path):
+            raise SystemExit("-s, -r and -o are required (or use --batch)")
+        run_one(a.source_file, a.reference_image, a.output_path)
+        return a.output_path
+
+    if not a.argument_csv:
+        raise SystemExit("--batch requires --argument_csv")
+    with open(a.argument_csv) as fh:
+        jobs = list(csv.DictReader(fh))
+    spark, own = _get_spark(spark)
+    try:
+        import pandas as pd
+
+        def exec_jobs(batches):
+            for pdf in batches:
+                n = [run_one(r.source_file, r.reference_image, r.output_path)
+                     for r in pdf.itertuples(index=False)]
+                yield pd.DataFrame({"output_path": pdf["output_path"],
+                                    "n_features": n})
+
+        df = spark.createDataFrame(
+            [(j["source_file"], j["reference_image"], j["output_path"])
+             for j in jobs],
+            "source_file string, reference_image string, output_path string")
+        (df.repartition(min(len(jobs), 64))
+           .mapInPandas(exec_jobs, schema="output_path string, n_features long")
+           .collect())
+        return jobs[-1]["output_path"]
+    finally:
+        if own:
+            spark.stop()

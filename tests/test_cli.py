@@ -151,3 +151,28 @@ class TestMakeMasksBatch:
         for out in (out1, out2):
             got = read_tiff(out).array
             assert np.array_equal(np.squeeze(got), np.squeeze(exp))
+
+
+class TestGeotransformBatch:
+    def test_batch_outputs_match_single(self, spark, tmp_path):
+        import csv as _csv
+        args_csv = str(tmp_path / "gargs.csv")
+        b1 = str(tmp_path / "g1.geojson")
+        b2 = str(tmp_path / "g2.geojson")
+        with open(args_csv, "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(["source_file", "reference_image", "output_path"])
+            for out in (b1, b2):
+                w.writerow([os.path.join(DATA, "geotiff_labels.geojson"),
+                            os.path.join(DATA, "sample_geotiff.tif"), out])
+        cli.geotransform_footprints_main(
+            ["-b", "-a", args_csv, "-p", "-d", "0"], spark=spark)
+        single = str(tmp_path / "gs.geojson")
+        cli.geotransform_footprints_main(
+            ["-s", os.path.join(DATA, "geotiff_labels.geojson"),
+             "-r", os.path.join(DATA, "sample_geotiff.tif"),
+             "-o", single, "-p", "-d", "0"])
+        exp = json.load(open(single))
+        for out in (b1, b2):
+            got = json.load(open(out))
+            assert got == exp
