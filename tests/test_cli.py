@@ -176,3 +176,22 @@ class TestGeotransformBatch:
         for out in (b1, b2):
             got = json.load(open(out))
             assert got == exp
+
+
+class TestSpacenetEvalOffNadir:
+    def test_competition_golden(self, spark, tmp_path):
+        """Off-nadir branch vs the reference CLI golden
+        (off_nadir_dataset_test.py:26-45: sample_*_competition.csv →
+        competition_test_results.csv, one perfect-score nadir bin)."""
+        base = str(tmp_path / "onad")
+        cli.spacenet_eval_main(
+            ["-p", os.path.join(DATA, "sample_preds_competition.csv"),
+             "-t", os.path.join(DATA, "sample_truth_competition.csv"),
+             "-c", "off-nadir", "-o", base], spark=spark)
+        got = pd.read_csv(base + ".csv")
+        exp = pd.read_csv(os.path.join(DATA, "competition_test_results.csv"))
+        assert len(got) == len(exp)
+        for col in ["TruePos", "FalsePos", "FalseNeg"]:
+            assert list(got[col]) == list(exp[col]), col
+        for col in ["F1Score", "Precision", "Recall"]:
+            assert np.allclose(got[col], exp[col], atol=1e-12), col
