@@ -178,3 +178,33 @@ class TestBinarizePredsOperator:
         assert b[0, 0] == 255
         assert b[1, 1] == 0
         assert (b[2:] == 0).all()
+
+
+class TestStitchFirstGolden:
+    def test_stitch_first_npy_golden(self, spark, fixture_images):
+        """test_raster/test_image.py:46-57 exactly: InferenceTiler 250px
+        tiles of the fixture, tile #11 (+10), stitch method='first' →
+        stitching_first_output.npy byte-for-byte."""
+        tiles = sorted(
+            tiling.inference_tiles(fixture_images, (250, 250)).collect(),
+            key=lambda r: (r["row0"], r["col0"]))
+        rows = []
+        for idx, r in enumerate(tiles):
+            a = np.frombuffer(r["pixels"], dtype=np.uint16).reshape(
+                r["nchan"], 250, 250)
+            if idx == 11:  # the reference bumps sample index 11
+                a = a + 10
+            rows.append((r["image_id"], r["row0"], r["col0"],
+                         bytearray(a.astype(np.uint16).tobytes()),
+                         250, 250, r["nchan"], r["fmt"]))
+        df = spark.createDataFrame(
+            rows, "image_id string, row0 int, col0 int, pixels binary, "
+                  "th int, tw int, nchan int, fmt string")
+        dims = fixture_images.select("image_id", "w", "h")
+        out = imageops.stitch_inference_tiles(df, dims,
+                                              method="first").collect()[0]
+        got = np.frombuffer(out["pixels"],
+                            dtype=np.dtype(out["dtype"])).reshape(
+            out["nchan"], out["h"], out["w"])
+        exp = np.load(os.path.join(DATA, "stitching_first_output.npy"))
+        assert np.array_equal(np.moveaxis(got, 0, -1).astype(exp.dtype), exp)
