@@ -211,3 +211,37 @@ class TestAffineGdfGolden:
             assert len(rg) == len(re_)
             for a, b in zip(rg, re_):
                 assert np.array_equal(a, b)
+
+
+class TestReprojectFullFileGolden:
+    def test_gt_geojson_both_directions(self):
+        """Full-file reproject parity (test_geo.py:108-127): every gt.geojson
+        footprint reprojected UTM16→4326 overlaps its gt_epsg4326.json twin
+        with area similarity > 0.99999, and back."""
+        import json as _json
+
+        def feats(path):
+            gj = _json.load(open(f"/root/reference/solaris/data/{path}"))
+            out = []
+            for f in gj["features"]:
+                if f["geometry"]["type"] != "Polygon":
+                    continue
+                rings = [np.asarray(r, dtype=np.float64)[:, :2]
+                         for r in f["geometry"]["coordinates"]]
+                out.append(G.wkt_dump("POLYGON", rings))
+            return out
+
+        utm = feats("gt.geojson")
+        ll = feats("gt_epsg4326.json")
+        assert len(utm) == len(ll) and len(utm) > 20
+        for wu, wl in zip(utm, ll):
+            got = G.reproject_wkt(wu, 32616, 4326)
+            _, pg = G.wkt_parse(got)
+            _, pe = G.wkt_parse(wl)
+            a = G.polygon_area(wl)
+            assert G.polygon_intersection_area(pg, pe) / a > 0.99999
+            back = G.reproject_wkt(wl, 4326, 32616)
+            _, pb = G.wkt_parse(back)
+            _, pu = G.wkt_parse(wu)
+            au = G.polygon_area(wu)
+            assert G.polygon_intersection_area(pb, pu) / au > 0.99999
