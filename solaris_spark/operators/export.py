@@ -103,6 +103,63 @@ def coco_annotations(labels: DataFrame, category_col=None) -> DataFrame:
         F.col("coco.bbox").alias("bbox"), F.col("coco.area").alias("area"))
 
 
+def coco_from_tile_dirs(spark, im_dir: str, gj_dir: str,
+                        match_re: str = r"(\d+_\d+)") -> DataFrame:
+    """geojson2coco over tile directories (solaris/data/coco.py:12-149):
+    pair tile GeoTIFFs with tile GeoJSONs by a regex key, convert each
+    label to the PIXEL frame of its matched tile via the tile affine, and
+    emit COCO annotation rows with 1-based image ids in sorted-image order.
+
+    The pairing is the manifest join (sources/dataset.py); the per-pair
+    file reads + geo→px transform run on executors (mapInPandas), so a
+    100k-tile labeling job is one distributed pass."""
+    import json
+
+    import pyspark.sql.types as TT
+
+    from ..functions.tiffio import read_tiff
+    from ..sources.dataset import make_dataset_manifest
+
+    manifest = make_dataset_manifest(
+        spark, im_dir, "tif", gj_dir, "geojson", match_re=match_re)
+    rows = manifest.orderBy("image").collect()
+    img_ids = {r["image"]: k + 1 for k, r in enumerate(rows)}
+    jobs = spark.createDataFrame(
+        [(img_ids[r["image"]], r["image"], r["label"]) for r in rows],
+        "img_id int, image string, label string")
+
+    out_schema = TT.StructType([
+        TT.StructField("image_id", TT.StringType()),
+        TT.StructField("img_id", TT.IntegerType()),
+        TT.StructField("label_id", TT.IntegerType()),
+        TT.StructField("wkt_pix", TT.StringType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                im = read_tiff(r.image)
+                inv = G.affine_invert(tuple(float(v) for v in im.transform))
+                gj = json.load(open(r.label))
+                for i, f in enumerate(gj["features"]):
+                    g = f["geometry"]
+                    if g["type"] != "Polygon":
+                        continue
+                    rings = [G.affine_apply(
+                        np.asarray(rr, dtype=np.float64)[:, :2], inv)
+                        for rr in g["coordinates"]]
+                    out.append((str(r.img_id), int(r.img_id), i,
+                                G.wkt_dump("POLYGON", rings)))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in out_schema.fields])
+
+    lab = jobs.repartition(max(4, min(len(rows), 256))) \
+        .mapInPandas(gen, schema=out_schema)
+    coco = coco_annotations(lab)
+    return coco.withColumn("image_id", F.col("image_id").cast("int"))
+
+
 def split_multi_geometries(labels: DataFrame, geom_col: str = "wkt",
                            group_col: str = "image_id") -> DataFrame:
     """Explode MultiPolygon/MultiLineString rows into single geometries and

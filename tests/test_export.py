@@ -134,3 +134,35 @@ class TestSplitGeom47:
         tiles = G.split_geom_bounds(bounds, (1024, 1024), resolution=(30, 30),
                                     geometry_rings=rings)
         assert len(tiles) == 47
+
+
+class TestCocoFromTileDirs:
+    def test_sample_3_full_dirs(self, spark):
+        """geojson2coco over the full tile dirs (test_coco.py:44-55):
+        annotation count matches coco_sample_3.json."""
+        out = export.coco_from_tile_dirs(
+            spark, os.path.join(DATA, "rastertile_test_expected"),
+            os.path.join(DATA, "vectortile_test_expected"))
+        exp = json.load(open(os.path.join(DATA, "coco_sample_3.json")))
+        rows = out.collect()
+        assert len(rows) == len(exp["annotations"])
+
+    def test_sample_1_bbox_parity(self, spark):
+        """The two tiles coco_sample_1.json was built from: bbox/area
+        multisets match to 1e-6 (test_coco.py:27-42)."""
+        out = export.coco_from_tile_dirs(
+            spark, os.path.join(DATA, "rastertile_test_expected"),
+            os.path.join(DATA, "vectortile_test_expected")).collect()
+        exp = json.load(open(os.path.join(DATA, "coco_sample_1.json")))
+        want_files = {im["file_name"]: im["id"] for im in exp["images"]}
+        # my image ids are 1-based over the sorted 100-tile dir; map the
+        # two golden tiles to their sorted positions
+        names = sorted(os.listdir(os.path.join(DATA,
+                                               "rastertile_test_expected")))
+        mine_ids = {names.index(fn) + 1 for fn in want_files}
+        got = sorted([round(v, 6) for v in r["bbox"]]
+                     for r in out if r["image_id"] in mine_ids)
+        expb = sorted([round(v, 6) for v in a["bbox"]]
+                      for a in exp["annotations"])
+        assert len(got) == len(expb)
+        assert np.allclose(np.array(got), np.array(expb), atol=1e-6)
