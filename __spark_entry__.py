@@ -816,6 +816,39 @@ def g_frame_sample(spark, sf_dir):
         "video_id", "frame_idx")
 
 
+def g_audio_features(spark, sf_dir):
+    """Audio feature extraction over deterministic int16-PCM fake clips
+    (multimodal.audio_features: duration/RMS/zero-crossings — real codecs
+    import-gated in this sandbox, the Spark plumbing is real)."""
+    import numpy as np
+
+    from solaris_spark.operators import multimodal
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(6):
+        pcm = rng.integers(-2000, 2000, size=800, dtype=np.int16)
+        rows.append((f"clip_{i}", bytearray(pcm.tobytes()), 8000))
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sample_rate int")
+    f = multimodal.audio_features(clips)
+    return f.select("clip_id",
+                    F.round("duration_sec", 6).alias("duration_sec"),
+                    F.round("rms", 4).alias("rms"),
+                    "zero_crossings").orderBy("clip_id")
+
+
+SQL_AUDIO_FEATURES = """
+SELECT * FROM (VALUES
+  ('clip_0', CAST(0.1 AS DOUBLE), CAST(0.0353 AS DOUBLE), CAST(394 AS BIGINT)),
+  ('clip_1', CAST(0.1 AS DOUBLE), CAST(0.0347 AS DOUBLE), CAST(410 AS BIGINT)),
+  ('clip_2', CAST(0.1 AS DOUBLE), CAST(0.0361 AS DOUBLE), CAST(403 AS BIGINT)),
+  ('clip_3', CAST(0.1 AS DOUBLE), CAST(0.0351 AS DOUBLE), CAST(414 AS BIGINT)),
+  ('clip_4', CAST(0.1 AS DOUBLE), CAST(0.0355 AS DOUBLE), CAST(361 AS BIGINT)),
+  ('clip_5', CAST(0.1 AS DOUBLE), CAST(0.0344 AS DOUBLE), CAST(394 AS BIGINT))
+) AS t(clip_id, duration_sec, rms, zero_crossings)
+"""
+
+
 def g_scot(spark, sf_dir):
     """SCOT optimal-assignment tracking scores on a deterministic
     multi-AOI scenario (rows-only — Hungarian assignment isn't SQL)."""
@@ -1556,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": g_ivf_knn,
         "image_features": g_image_features,
         "frame_sample": g_frame_sample,
+        "audio_features": g_audio_features,
         "scot_tracking": g_scot,
         "pixel_metrics": g_pixel_metrics,
         "inference_tiler": g_inference_tiler,
@@ -1603,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "image_features": SQL_IMAGE_FEATURES,
         "frame_sample": _sql_frame_sample(),
+        "audio_features": SQL_AUDIO_FEATURES,
         "scot_tracking": SQL_SCOT_TRACKING,
         "pixel_metrics": SQL_PIXEL_METRICS,
         "inference_tiler": _sql_inference_tiler(),
