@@ -391,7 +391,15 @@ def average_precision(pairs: DataFrame, conf_col: str = "conf",
     """Interpolated mAP (eval/vector.py:469-513): sort by conf desc →
     cumulative TP/FP → precision @ recall curve → max precision at 101
     recall thresholds → mean.  Pure window + crossJoin(thresholds) —
-    no UDF, whole-stage codegen all the way."""
+    no UDF, whole-stage codegen all the way.
+
+    Scale note: the confidence ranking is GLOBAL by contract (the
+    reference's single conf-desc ordering), so this window is
+    unpartitioned — one partition holds the (conf, is_tp) pairs, which is
+    fine because the input is already reduced to two tiny columns.  The
+    production per-class variant (mean_average_precision) partitions by
+    class; for a single class at extreme cardinality, pre-aggregate
+    per-conf-bucket counts first."""
     w = Window.orderBy(F.desc(conf_col)).rowsBetween(Window.unboundedPreceding, 0)
     cum = (pairs
            .withColumn("cum_tp", F.sum(F.col(tp_col).cast("int")).over(w))
