@@ -816,6 +816,39 @@ def g_frame_sample(spark, sf_dir):
         "video_id", "frame_idx")
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash document fingerprints over the
+    documents table — per-doc fingerprint count + min fingerprint; the
+    oracle re-derives grams/hashes/windowed-min selection in DuckDB."""
+    from solaris_spark.operators import text as textops
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fps = textops.winnow_fingerprints(d, k=5, window=4)
+    return (fps.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_fps"),
+                 F.min("fp").alias("min_fp"))
+            .orderBy("doc_id"))
+
+
+SQL_WINNOW = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+g AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substr(md5(substr(text, pos + 1, 5)), 1, 8))
+              AS BIGINT) AS h
+  FROM d, LATERAL (SELECT unnest(range(0, len(text) - 5 + 1)) AS pos)
+  WHERE len(text) >= 5),
+wm AS (
+  SELECT doc_id, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM g),
+fps AS (SELECT DISTINCT doc_id, h FROM wm WHERE h = wmin)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(MIN(h) AS BIGINT) AS min_fp
+FROM fps GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def g_audio_features(spark, sf_dir):
     """Audio feature extraction over deterministic int16-PCM fake clips
     (multimodal.audio_features: duration/RMS/zero-crossings — real codecs
@@ -1577,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprints": q_winnow,
         "tile_pipeline": g_tile_pipeline,
         "greedy_match": g_greedy_match,
         "masks_fbc": g_masks,
@@ -1626,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": SQL_QUALITY,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
+        "winnow_fingerprints": SQL_WINNOW,
         "bpe_tokens": SQL_BPE,
         "tile_pipeline": SQL_TILE_PIPELINE,
         "greedy_match": SQL_GREEDY_MATCH,

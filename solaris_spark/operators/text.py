@@ -89,3 +89,50 @@ def fingerprint_groups(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("group_size"),
                  F.min(id_col).alias("first_doc"))
             .filter(F.col("group_size") > 1))
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme — the classic k-gram rolling-hash fingerprint family): hash
+    every char k-gram, then keep a gram iff its hash is the MINIMUM of the
+    forward window of `window` consecutive gram hashes.  Guarantees any
+    shared substring of length ≥ k + window − 1 produces a shared
+    fingerprint, so plagiarized/duplicated passages collide.
+
+    Fully relational: substring explode (JVM), md5-derived gram hash
+    (deterministic — the DuckDB oracle recomputes it), windowed MIN — no
+    UDF; a true O(1)-update Rabin-Karp hash is an executor-side
+    micro-optimization the relational plan doesn't need.
+    Returns (id, fp) distinct fingerprints per doc.
+    """
+    n_grams = F.length(F.col(text_col)) - k + 1
+    g = (docs.filter(n_grams > 0)
+         .select(id_col, text_col,
+                 F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("pos"))
+         .withColumn("gram", F.expr(f"substring({text_col}, pos + 1, {k})"))
+         .withColumn("h", F.conv(F.substring(F.md5(F.col("gram")), 1, 8),
+                                 16, 10).cast("long"))
+         .drop(text_col))
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (g.withColumn("wmin", F.min("h").over(w))
+            .filter(F.col("h") == F.col("wmin"))
+            .select(F.col(id_col), F.col("h").alias("fp"))
+            .distinct())
+
+
+def winnow_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 5,
+                          window: int = 4,
+                          min_shared: int = 2) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints (equi-join
+    on fp — the same bucketed shape as the LSH joins, never all-pairs)."""
+    fps = winnow_fingerprints(docs, id_col, text_col, k, window)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("da"),
+                     F.col(f"b.{id_col}").alias("db"))
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared))

@@ -185,3 +185,26 @@ class TestMultimodal:
         assert out["duration_sec"] == pytest.approx(1.0)
         # 40 half-periods → 39 interior sign changes (endpoints exactly 0)
         assert out["zero_crossings"] == 39
+
+
+class TestWinnowing:
+    def test_shared_passage_guarantee(self, spark):
+        """Winnowing guarantee: any shared substring of length >=
+        k + window - 1 yields a shared fingerprint — two docs sharing a
+        long passage pair up; unrelated docs don't."""
+        passage = "the quick brown fox jumps over the lazy dog tonight"
+        d = spark.createDataFrame(
+            [(1, "intro words " + passage + " tail one"),
+             (2, "other start " + passage + " different end"),
+             (3, "completely unrelated content with nothing in common xyz")],
+            "doc_id long, text string")
+        pairs = {(r["da"], r["db"]): r["shared_fps"] for r in
+                 text.winnow_near_dup_pairs(d, k=5, window=4).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+        assert not any(3 in p for p in pairs)
+
+    def test_fingerprints_subset_of_gram_hashes(self, spark):
+        d = spark.createDataFrame([(1, "abcdefghijklmnop")],
+                                  "doc_id long, text string")
+        fps = text.winnow_fingerprints(d, k=5, window=4).collect()
+        assert 1 <= len(fps) <= 12  # never more than the gram count
