@@ -849,6 +849,49 @@ FROM fps GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_clean_text(spark, sf_dir):
+    """Boilerplate scrub (text.clean_text): documents with planted URLs +
+    e-mails — removal counts and the md5 of the cleaned text, re-derived
+    in DuckDB with the same regexps."""
+    from solaris_spark.operators import text as textops
+    d = (_load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+         .select("doc_id",
+                 F.concat(F.col("text"),
+                          F.lit(" visit https://ex.com/p?id="),
+                          F.col("doc_id").cast("string"),
+                          F.lit(" or mail bot@crawl.org  now"))
+                 .alias("text")))
+    out = textops.clean_text(d)
+    return out.select("doc_id", "n_urls", "n_emails", "chars_removed",
+                      F.md5("clean_text").alias("clean_md5")) \
+        .orderBy("doc_id")
+
+
+SQL_CLEAN_TEXT = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' visit https://ex.com/p?id=' || CAST(doc_id AS VARCHAR)
+              || ' or mail bot@crawl.org  now' AS text
+  FROM documents WHERE doc_id < 100),
+c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(regexp_replace(text,
+              '(https?://\S+|www\.\S+)', ' ', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+              '\s+', ' ', 'g')) AS clean_text
+  FROM d)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '(https?://\S+|www\.\S+)', 0))
+            AS INTEGER) AS n_urls,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
+            AS INTEGER) AS n_emails,
+       CAST(len(text) - len(clean_text) AS INTEGER) AS chars_removed,
+       md5(clean_text) AS clean_md5
+FROM c ORDER BY doc_id
+"""
+
+
 def g_audio_features(spark, sf_dir):
     """Audio feature extraction over deterministic int16-PCM fake clips
     (multimodal.audio_features: duration/RMS/zero-crossings — real codecs
@@ -1611,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow,
+        "clean_text": q_clean_text,
         "tile_pipeline": g_tile_pipeline,
         "greedy_match": g_greedy_match,
         "masks_fbc": g_masks,
@@ -1661,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
         "winnow_fingerprints": SQL_WINNOW,
+        "clean_text": SQL_CLEAN_TEXT,
         "bpe_tokens": SQL_BPE,
         "tile_pipeline": SQL_TILE_PIPELINE,
         "greedy_match": SQL_GREEDY_MATCH,

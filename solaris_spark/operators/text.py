@@ -136,3 +136,27 @@ def winnow_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                      F.col(f"b.{id_col}").alias("db"))
             .agg(F.count(F.lit(1)).alias("shared_fps"))
             .filter(F.col("shared_fps") >= min_shared))
+
+
+def clean_text(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Boilerplate scrub — the standard pre-dedup cleaning stage of a
+    training-data pipeline: strip URLs and e-mail addresses, collapse
+    whitespace runs, trim; emits the removal counts so downstream quality
+    filters can threshold on them.  Pure column regexps (JVM, codegen)."""
+    url = r"(https?://\S+|www\.\S+)"
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    t = F.col(text_col)
+    # SQL string literals consume one level of backslashes — double them
+    # for the F.expr regexps (the F.regexp_replace column API takes the
+    # pattern verbatim, no doubling there)
+    n_urls = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '{url.replace(chr(92), chr(92) * 2)}', 0)"))
+    n_emails = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '{email.replace(chr(92), chr(92) * 2)}', 0)"))
+    cleaned = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        t, url, " "), email, " "), r"\s+", " "))
+    return docs.select(
+        id_col, cleaned.alias("clean_text"),
+        n_urls.alias("n_urls"), n_emails.alias("n_emails"),
+        (F.length(t) - F.length(cleaned)).alias("chars_removed"))

@@ -208,3 +208,18 @@ class TestWinnowing:
                                   "doc_id long, text string")
         fps = text.winnow_fingerprints(d, k=5, window=4).collect()
         assert 1 <= len(fps) <= 12  # never more than the gram count
+
+
+class TestCleanText:
+    def test_urls_emails_whitespace(self, spark):
+        d = spark.createDataFrame(
+            [(1, "see https://a.io/x and www.b.com now"),
+             (2, "mail me at a.b+c@ex-ample.org   please  "),
+             (3, "plain    text")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in text.clean_text(d).collect()}
+        assert out[1]["n_urls"] == 2 and "http" not in out[1]["clean_text"]
+        assert out[1]["clean_text"] == "see and now"
+        assert out[2]["n_emails"] == 1 and "@" not in out[2]["clean_text"]
+        assert out[3]["clean_text"] == "plain text"
+        assert out[3]["chars_removed"] == 3
