@@ -559,26 +559,31 @@ FROM best b JOIN ntok USING (doc_id) WHERE rk = 1 ORDER BY doc_id
 
 
 def q_quality_score(spark, sf_dir):
-    """Text quality scoring: length / mean word length / stopword ratio."""
+    """Text quality scoring: length / mean word length / punct ratio /
+    stopword ratio."""
     d = _load(spark, sf_dir, "documents")
     from solaris_spark.operators import text as textops
     out = (textops.quality_scores(d)
            .filter((F.col("n_tokens") >= 10) & (F.col("mean_word_len") >= 2.0))
            .withColumn("mean_word_len", F.round("mean_word_len", 6))
+           .withColumn("punct_ratio", F.round("punct_ratio", 6))
            .withColumn("stop_ratio", F.round("stop_ratio", 6))
            .orderBy("doc_id"))
     return out
 
 
-SQL_QUALITY = """
+SQL_QUALITY = r"""
 WITH t AS (
   SELECT doc_id, length(text) AS n_chars_m,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '',
+                                              'g')) AS punct,
          len(string_split(text, ' ')) AS n_tokens,
          len(list_filter(string_split(text, ' '),
              x -> x IN ('the', 'a', 'and', 'of'))) AS stop_hits
   FROM documents)
 SELECT doc_id, n_chars_m, n_tokens,
        ROUND((n_chars_m - n_tokens + 1) * 1.0 / n_tokens, 6) AS mean_word_len,
+       ROUND(punct * 1.0 / n_chars_m, 6) AS punct_ratio,
        ROUND(stop_hits * 1.0 / n_tokens, 6) AS stop_ratio
 FROM t WHERE n_tokens >= 10
   AND (n_chars_m - n_tokens + 1) * 1.0 / n_tokens >= 2.0

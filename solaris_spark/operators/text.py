@@ -38,16 +38,22 @@ def lang_id(docs: DataFrame, lexicon=None, id_col: str = "doc_id",
 def quality_scores(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
                    stopwords=("the", "a", "and", "of")) -> DataFrame:
-    """Length / mean word length / stopword-ratio quality features."""
+    """Length / mean word length / punctuation-ratio / stopword-ratio
+    quality features (the standard cheap training-data filters)."""
     toks = F.split(F.col(text_col), " ")
     n_tok = F.size(toks)
     stops = list(stopwords)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    n_chars = F.length(text_col)
+    # punctuation = non-alphanumeric, non-space characters
+    punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", ""))
     return docs.select(
         id_col,
-        F.length(text_col).alias("n_chars_m"),
+        n_chars.alias("n_chars_m"),
         n_tok.alias("n_tokens"),
-        ((F.length(text_col) - n_tok + 1) / n_tok).alias("mean_word_len"),
+        ((n_chars - n_tok + 1) / n_tok).alias("mean_word_len"),
+        (punct / n_chars).alias("punct_ratio"),
         (stop_hits / n_tok).alias("stop_ratio"))
 
 

@@ -140,6 +140,11 @@ class TestText:
         q = text.quality_scores(d).collect()[0]
         assert q["n_tokens"] == 4
         assert q["mean_word_len"] == pytest.approx((13 - 4 + 1) / 4)
+        assert q["punct_ratio"] == 0.0
+        dp = spark.createDataFrame([(2, "hi, there! ok?", "s")],
+                                   "doc_id long, text string, source string")
+        qp = text.quality_scores(dp).collect()[0]
+        assert qp["punct_ratio"] == pytest.approx(3 / 14)
         tc = text.token_counts(d).collect()[0]
         assert tc["total_tokens"] == 4
         bpe = text.bpe_ish_token_counts(d).collect()[0]
