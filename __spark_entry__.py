@@ -837,17 +837,18 @@ def q_winnow(spark, sf_dir):
 SQL_WINNOW = """
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
 g AS (
-  SELECT doc_id, pos,
+  SELECT doc_id, pos, len(text) - 5 + 1 AS ng,
          CAST(concat('0x', substr(md5(substr(text, pos + 1, 5)), 1, 8))
               AS BIGINT) AS h
   FROM d, LATERAL (SELECT unnest(range(0, len(text) - 5 + 1)) AS pos)
-  WHERE len(text) >= 5),
+  WHERE len(text) - 5 + 1 >= 4),
 wm AS (
-  SELECT doc_id, h,
+  SELECT doc_id, pos, ng, h,
          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
   FROM g),
-fps AS (SELECT DISTINCT doc_id, h FROM wm WHERE h = wmin)
+fps AS (SELECT DISTINCT doc_id, h FROM wm
+        WHERE h = wmin AND pos <= ng - 4)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
        CAST(MIN(h) AS BIGINT) AS min_fp
 FROM fps GROUP BY doc_id ORDER BY doc_id

@@ -127,6 +127,21 @@ N_LO = int(os.environ.get("SCALE_N_LO", "4"))
 N_HI = int(os.environ.get("SCALE_N_HI", "16"))
 
 
+def _engine_rev() -> str:
+    """Content hash of the engine source tree — guards the best-of merge
+    against mixing measurements of different builds."""
+    import hashlib
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "solaris_spark")
+    h = hashlib.sha256()
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                with open(os.path.join(dirpath, f), "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def _best(runs):
     """Per-metric best of repeated trials — this sandbox shares its host
     (noisy neighbors: observed ±2× wall variance between identical runs),
@@ -149,12 +164,17 @@ def main():
     # (observed external load 0-12 between runs), so single-window numbers
     # under-measure whichever config ran during a noisy burst; max
     # throughput per config across windows estimates the quiet machine.
-    # Only comparable records merge (same image count / config).
+    # Only comparable records merge: same config AND the same engine source
+    # (an engine_rev content hash) — otherwise a perf regression would be
+    # permanently masked by stale bests from an older build.
+    rev = _engine_rev()
     if os.path.exists("BENCH/scaling.json") and \
             not os.environ.get("SCALE_FRESH"):
         with open("BENCH/scaling.json") as f:
             prev = json.load(f)
         if (prev.get("n_lo") == N_LO and prev.get("n_hi") == N_HI
+                and prev.get("engine_rev") == rev
+                and "lo" in prev and "hi" in prev
                 and prev["lo"].get("n_images") == N_IMAGES):
             lo_runs.append(prev["lo"])
             hi_runs.append(prev["hi"])
@@ -167,6 +187,7 @@ def main():
     eff_join = r32["join_rows_per_sec"] / (4 * r8["join_rows_per_sec"])
     kc = kernel_ceiling()
     result = {"lo": r8, "hi": r32, "n_lo": N_LO, "n_hi": N_HI,
+              "engine_rev": rev,
               "scaling_efficiency": round(eff, 3),
               "scaling_efficiency_join": round(eff_join, 3),
               "kernel_ceiling": kc,

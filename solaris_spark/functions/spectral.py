@@ -61,13 +61,6 @@ def decibels(arr: np.ndarray, flag="min") -> np.ndarray:
         where=arr > 0)
 
 
-def _reflect_pad2d(band: np.ndarray, k: int) -> np.ndarray:
-    # scipy 'reflect' == np.pad 'symmetric'; centered window origin at k//2
-    lo = k // 2
-    hi = k - 1 - lo
-    return np.pad(band, ((lo, hi), (lo, hi)), mode="symmetric")
-
-
 def multilook(arr: np.ndarray, kernel_size=5, method="avg") -> np.ndarray:
     """Speckle-reduction filter (sar.py:130-156): per-band centered sliding
     window, reflect boundary — 'avg' (uniform), 'med' (median), 'max'."""

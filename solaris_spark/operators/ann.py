@@ -45,12 +45,19 @@ def brute_force_knn(queries: DataFrame, targets: DataFrame, k: int = 5,
             .select(qid, tid, "rank", "cosine"))
 
 
-def _cell_assign_udf(spark, centroids: np.ndarray):
-    """pandas_udf: nearest-centroid cell id per vector.  One (batch × dim)
-    @ (dim × n_cells) matrix product per Arrow batch; centroids ride a
-    broadcast variable.  argmin ties break to the lowest cell id."""
-    bc = spark.sparkContext.broadcast(
+def _broadcast_centroids(spark, centroids: np.ndarray):
+    """One broadcast per PUBLIC call — the assign and probe UDFs share it
+    (previously each factory broadcast its own copy and nothing was ever
+    released; at n_cells=4096 × dim=768 that's 25 MB of undroppable blocks
+    per factory call accumulating in long-lived sessions)."""
+    return spark.sparkContext.broadcast(
         np.ascontiguousarray(centroids, dtype=np.float64))
+
+
+def _cell_assign_udf(bc):
+    """pandas_udf: nearest-centroid cell id per vector.  One (batch × dim)
+    @ (dim × n_cells) matrix product per Arrow batch; centroids ride the
+    shared broadcast.  argmin ties break to the lowest cell id."""
 
     @F.pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
@@ -64,11 +71,9 @@ def _cell_assign_udf(spark, centroids: np.ndarray):
     return assign
 
 
-def _probe_cells_udf(spark, centroids: np.ndarray, n_probe: int):
+def _probe_cells_udf(bc, n_probe: int):
     """pandas_udf: the n_probe nearest cell ids per query vector (stable
     argsort — ties break to the lowest cell id)."""
-    bc = spark.sparkContext.broadcast(
-        np.ascontiguousarray(centroids, dtype=np.float64))
 
     @F.pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
@@ -99,7 +104,8 @@ def train_centroids(vectors: DataFrame, vec_col: str, n_cells: int,
     cents = np.array([r[0] for r in first], dtype=np.float64)
     dim = cents.shape[1]
     for _ in range(iters):
-        assign = _cell_assign_udf(spark, cents)
+        bc = _broadcast_centroids(spark, cents)
+        assign = _cell_assign_udf(bc)
         agg = (sample.withColumn("cell", assign(F.col(vec_col)))
                .groupBy("cell")
                .agg(F.array(*[
@@ -107,6 +113,9 @@ def train_centroids(vectors: DataFrame, vec_col: str, n_cells: int,
                    for i in range(dim)]).alias("centroid"),
                    F.count(F.lit(1)).alias("n"))
                .collect())
+        # the collect above fully consumed this iteration's centroids —
+        # release the broadcast instead of leaking one per Lloyd iteration
+        bc.unpersist()
         new = cents.copy()
         for r in agg:
             new[r["cell"]] = np.array(r["centroid"])
@@ -126,11 +135,13 @@ def ivf_knn(queries: DataFrame, targets: DataFrame, k: int = 5,
     if centroids is None:
         centroids = train_centroids(
             targets.select(F.col(tvec).alias("v")), "v", n_cells)
-    assign = _cell_assign_udf(spark, centroids)
-    t = targets.withColumn("cell", assign(F.col(tvec)))
-
-    probe = _probe_cells_udf(spark, centroids, n_probe)
-    q = queries.withColumn("cell", F.explode(probe(F.col(qvec))))
+    # ONE shared broadcast for both the assign and probe UDFs (the result
+    # is lazy, so it stays alive for the query's lifetime — callers running
+    # many ivf_knn's in one session can bc.unpersist() after consuming)
+    bc = _broadcast_centroids(spark, centroids)
+    t = targets.withColumn("cell", _cell_assign_udf(bc)(F.col(tvec)))
+    q = queries.withColumn(
+        "cell", F.explode(_probe_cells_udf(bc, n_probe)(F.col(qvec))))
 
     j = q.join(t, "cell").filter(F.col(qid) != F.col(tid))
     j = j.withColumn("cosine", _cosine_expr(qvec, tvec))

@@ -109,15 +109,31 @@ def spacenet_buildings_eval(spark, prop_csv: str, truth_csv: str,
 
 
 def with_nadir_bin(scores: DataFrame, image_col: str = "image_id",
-                   image_columns: dict[str, str] | None = None) -> DataFrame:
+                   image_columns: dict[str, str] | None = None,
+                   strict: bool = True) -> DataFrame:
     """Attach `nadir_category` to per-image score rows via the broadcast
     chip-id → bin lookup (the SpaceNet-4 default table unless overridden).
     Compose with evalops.aoi_rollup(df, 'nadir_category') for the per-bin
-    score rollup (challenges.py:256-284)."""
+    score rollup (challenges.py:256-284).
+
+    strict (default): raise if any imageID fails the chip-id regex or maps
+    to no catalog bin — the reference's dict lookup KeyErrors on unknown
+    ids, and a silent NULL bin would exclude those rows from every real
+    bin's score.  strict=False keeps the unmatched rows with
+    nadir_category NULL."""
     spark = scores.sparkSession
     mapping = image_columns or OFF_NADIR_BINS
     lut = spark.createDataFrame(
         [(k, v) for k, v in mapping.items()], "chip_id string, nadir_category string")
     s = scores.withColumn(
         "chip_id", chip_id_col(image_col, "spacenet_off_nadir"))
-    return s.join(F.broadcast(lut), "chip_id", "left")
+    out = s.join(F.broadcast(lut), "chip_id", "left")
+    if strict:
+        bad = out.filter(F.col("nadir_category").isNull()) \
+            .select(image_col).limit(5).collect()
+        if bad:
+            names = [r[image_col] for r in bad]
+            raise ValueError(
+                f"imageIDs with no nadir-bin mapping (first 5): {names}; "
+                "pass image_columns with their chips or strict=False")
+    return out

@@ -119,10 +119,15 @@ def graph_to_geojson(nodes: DataFrame, edges: DataFrame,
     if d:
         os.makedirs(d, exist_ok=True)
 
+    # one pass over nodes: stream the GeoJSON features AND accumulate the
+    # node_id → (x, y) map the edge sink needs (a second toLocalIterator
+    # would recompute build_graph's whole explode/dedup lineage)
+    node_xy = {}
     with open(nodes_path, "w") as fh:
         fh.write('{"type": "FeatureCollection", "features": [\n')
         first = True
         for r in nodes.orderBy("node_id").toLocalIterator():
+            node_xy[r["node_id"]] = (r["x"], r["y"])
             feat = {"type": "Feature",
                     "properties": {"node_id": r["node_id"]},
                     "geometry": {"type": "Point",
@@ -130,9 +135,6 @@ def graph_to_geojson(nodes: DataFrame, edges: DataFrame,
             fh.write(("" if first else ",\n") + json.dumps(feat))
             first = False
         fh.write("\n]}\n")
-
-    node_xy = {r["node_id"]: (r["x"], r["y"])
-               for r in nodes.toLocalIterator()}
     with open(edges_path, "w") as fh:
         fh.write('{"type": "FeatureCollection", "features": [\n')
         first = True

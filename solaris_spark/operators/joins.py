@@ -209,7 +209,11 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     done = []
     ring = 1
     while True:
-        res = _knn_pass(q, t, k, cell_size, ring, qid, tid)
+        # persist each pass: its rows feed BOTH the settledness check and
+        # the final union, and the next pass's anti-joined query set embeds
+        # this lineage — without caching every ring's candidate join would
+        # re-execute 2-3x and lineage depth would compound per iteration
+        res = _knn_pass(q, t, k, cell_size, ring, qid, tid).persist()
         if ring >= max_ring:
             done.append(res)
             break
@@ -220,8 +224,8 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
                            & (F.col("_kth") <= ring * cell_size))
                    .select(qid))
         done.append(res.join(settled, qid, "left_semi"))
-        q = q.join(settled, qid, "left_anti")
-        if q.isEmpty():
+        q = q.join(settled, qid, "left_anti").persist()
+        if q.isEmpty():  # bounded: ≤ log2(max_ring)+1 driver actions
             break
         ring = min(ring * 2, max_ring)
     out = done[0]

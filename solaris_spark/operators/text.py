@@ -103,9 +103,12 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     scheme — the classic k-gram rolling-hash fingerprint family): hash
     every char k-gram, then keep a gram iff its hash is the MINIMUM of the
-    forward window of `window` consecutive gram hashes.  Guarantees any
-    shared substring of length ≥ k + window − 1 produces a shared
-    fingerprint, so plagiarized/duplicated passages collide.
+    FULL forward window of `window` consecutive gram hashes (truncated
+    trailing windows are excluded — they would unconditionally select the
+    last gram of every document, which winnowing does not produce).
+    This forward-window selection variant guarantees any shared substring
+    of length ≥ k + 2·window − 2 produces a shared fingerprint, so
+    plagiarized/duplicated passages collide.
 
     Fully relational: substring explode (JVM), md5-derived gram hash
     (deterministic — the DuckDB oracle recomputes it), windowed MIN — no
@@ -114,16 +117,21 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     Returns (id, fp) distinct fingerprints per doc.
     """
     n_grams = F.length(F.col(text_col)) - k + 1
-    g = (docs.filter(n_grams > 0)
+    g = (docs.filter(n_grams >= window)
          .select(id_col, text_col,
                  F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("pos"))
+         .withColumn("_ng", F.length(F.col(text_col)) - k + 1)
          .withColumn("gram", F.expr(f"substring({text_col}, pos + 1, {k})"))
          .withColumn("h", F.conv(F.substring(F.md5(F.col("gram")), 1, 8),
                                  16, 10).cast("long"))
          .drop(text_col))
     w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    # FULL windows only (pos ≤ n_grams − window): a truncated trailing
+    # window would unconditionally select the document's last gram, which
+    # the winnowing definition does not produce
     return (g.withColumn("wmin", F.min("h").over(w))
-            .filter(F.col("h") == F.col("wmin"))
+            .filter((F.col("h") == F.col("wmin"))
+                    & (F.col("pos") <= F.col("_ng") - window))
             .select(F.col(id_col), F.col("h").alias("fp"))
             .distinct())
 

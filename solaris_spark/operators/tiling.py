@@ -284,6 +284,15 @@ def inference_tiles(images: DataFrame, tile_size: tuple[int, int],
             for row in pdf.itertuples(index=False):
                 arr = decode_image(row.fmt, row.bytes, row.w, row.h)
                 h_img, w_img = row.h, row.w
+                if h_img < th or w_img < tw:
+                    # the clamp formula goes negative here and would emit a
+                    # short pixel buffer labeled full-size (the reference
+                    # InferenceTiler crashes obscurely on this input too) —
+                    # fail fast with the offending image named
+                    raise ValueError(
+                        f"image {row.image_id} ({w_img}x{h_img}) is smaller "
+                        f"than the tile size ({tw}x{th}); pad or filter "
+                        "such images before inference_tiles")
                 y_steps = int(1 + np.ceil((h_img - th) / ys))
                 x_steps = int(1 + np.ceil((w_img - tw) / xs))
                 for y in range(y_steps):

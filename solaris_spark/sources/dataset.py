@@ -66,21 +66,30 @@ def make_dataset_manifest(spark: SparkSession, im_dir: str,
     labs = labs.withColumn("match_str", key(F.col("label")))
     joined = ims.join(labs, "match_str", "inner")
 
-    n_im, n_join = ims.count(), joined.count()
+    # per-KEY multiplicity, not aggregate counts: with totals alone a
+    # duplicate match and a missing match cancel out (2 images, one matching
+    # two labels and one matching none → n_join == n_im) and a corrupt
+    # manifest would pass silently
+    lab_counts = labs.groupBy("match_str").agg(
+        F.count(F.lit(1)).alias("_n"))
+    per_key = ims.join(lab_counts, "match_str", "left") \
+        .select("match_str", F.coalesce(F.col("_n"), F.lit(0)).alias("_n"))
     if ignore_mismatch is None:
-        if n_join < n_im:
+        n_unmatched = per_key.filter(F.col("_n") == 0).count()
+        if n_unmatched:
             raise ValueError(
-                "There is not a perfect 1:1 match of images to label files. "
-                "To allow this behavior, use ignore_mismatch='skip'.")
-        if n_join > n_im:
+                "There is not a perfect 1:1 match of images to label files "
+                f"({n_unmatched} image(s) without a label). To allow this "
+                "behavior, use ignore_mismatch='skip'.")
+        n_dup = per_key.filter(F.col("_n") > 1).count()
+        if n_dup:
             raise ValueError(
                 "There are multiple label files matching at least one "
-                "image file.")
-    elif ignore_mismatch == "skip" and n_join > n_im:
-        counts = joined.groupBy("match_str").agg(
-            F.count(F.lit(1)).alias("_n"))
-        joined = (joined.join(counts.filter(F.col("_n") == 1)
-                              .select("match_str"), "match_str"))
+                f"image file ({n_dup} image(s) affected).")
+    elif ignore_mismatch == "skip":
+        joined = joined.join(
+            lab_counts.filter(F.col("_n") == 1).select("match_str"),
+            "match_str")
     return joined.select("image", "label").orderBy("image")
 
 

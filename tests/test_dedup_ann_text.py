@@ -194,9 +194,10 @@ class TestMultimodal:
 
 class TestWinnowing:
     def test_shared_passage_guarantee(self, spark):
-        """Winnowing guarantee: any shared substring of length >=
-        k + window - 1 yields a shared fingerprint — two docs sharing a
-        long passage pair up; unrelated docs don't."""
+        """Winnowing guarantee (forward-window variant): any shared
+        substring of length >= k + 2*window - 2 yields a shared
+        fingerprint — two docs sharing a long passage pair up; unrelated
+        docs don't."""
         passage = "the quick brown fox jumps over the lazy dog tonight"
         d = spark.createDataFrame(
             [(1, "intro words " + passage + " tail one"),

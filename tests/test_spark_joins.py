@@ -202,3 +202,38 @@ class TestS2Cells:
         cells = {r["pid"]: r["s2_cell"] for r in out}
         assert cells[0] == cells[1] != cells[2]
         assert cells[0].endswith("@10")
+
+
+class TestLineageChunked:
+    def test_commit_every_bounds_restart(self, spark, tmp_path):
+        """commit_every=2: commits land per chunk, so a failure after the
+        first chunk only redoes the REMAINING partitions on restart (the
+        single-pass mode would redo everything)."""
+        import pytest as _pytest
+        df = spark.range(0, 200).withColumn("v", F.col("id") * 3)
+        out = str(tmp_path / "ck_out")
+        log = str(tmp_path / "ck_log")
+
+        calls = {"n": 0}
+
+        def failing_xf(part):
+            # fail the SECOND chunk's transform (driver-side, deterministic)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated mid-run failure")
+            return part.select("id", "v")
+
+        with _pytest.raises(RuntimeError, match="simulated"):
+            lineage.run_resumable(spark, df, "id", 6, "ckrun", out, log,
+                                  failing_xf, commit_every=2)
+        committed = spark.read.parquet(log) \
+            .filter(F.col("status") == "committed").count()
+        assert committed == 2  # exactly the first chunk survived
+
+        s = lineage.run_resumable(spark, df, "id", 6, "ckrun", out, log,
+                                  lambda p: p.select("id", "v"),
+                                  commit_every=2)
+        assert s["skipped"] == 2 and s["processed"] == 4
+        assert spark.read.parquet(out).count() == 200
+        assert spark.read.parquet(log) \
+            .filter(F.col("status") == "committed").count() == 6
