@@ -802,6 +802,20 @@ def g_image_features(spark, sf_dir):
                         "phash").orderBy("image_id")
 
 
+def g_crop_stats(spark, sf_dir):
+    """Pixel-window image crop (reference preproc/image.py:373-409 Crop:
+    INCLUSIVE [left, bottom, right, top] srcWin) over the deterministic
+    synthetic image table; md5 of the cropped payload pins the exact
+    window bytes (VALUES oracle)."""
+    from solaris_spark.operators import multimodal
+    from solaris_spark.sources import synth
+    images = synth.images_table(spark, 12, include_fixture=False)
+    cropped = multimodal.crop_images(images, [3, 40, 20, 5])
+    return (cropped.select("image_id", "w", "h",
+                           F.md5(F.col("bytes")).alias("crop_md5"))
+            .orderBy("image_id"))
+
+
 def g_frame_sample(spark, sf_dir):
     """Video frame sampling plumbing over deterministic fake videos
     (rows-only)."""
@@ -1108,6 +1122,26 @@ p AS (
   FROM u a, u b WHERE a.vec_id < b.vec_id)
 SELECT da, db, ROUND(cosine, 6) AS cosine FROM p
 WHERE cosine >= 0.999 ORDER BY da, db
+"""
+
+
+# Pinned output of g_crop_stats (deterministic seeded synth images; md5 of
+# the exact cropped bytes — any pixel/window/stride change flips the hash).
+SQL_CROP_STATS = """
+SELECT * FROM (VALUES
+  ('img_000000000000', CAST(18 AS INTEGER), CAST(36 AS INTEGER), '49c966ff0bc007e7a29aa713187cc260'),
+  ('img_000000000001', CAST(18 AS INTEGER), CAST(36 AS INTEGER), '268bd98d8a64cee8d929737e010ae79b'),
+  ('img_000000000002', CAST(18 AS INTEGER), CAST(36 AS INTEGER), '25b6c5f579e2a7c6d442c0cb091fc866'),
+  ('img_000000000003', CAST(18 AS INTEGER), CAST(36 AS INTEGER), '7b57e595e2d41c66fce399ed24cc44b4'),
+  ('img_000000000004', CAST(18 AS INTEGER), CAST(36 AS INTEGER), '093865ed7a8914ec094c5b44d6c1733b'),
+  ('img_000000000005', CAST(18 AS INTEGER), CAST(36 AS INTEGER), '7e2b0312193be1dc54cffb3477e72b29'),
+  ('img_000000000006', CAST(18 AS INTEGER), CAST(36 AS INTEGER), 'c4948a9b14e3bc2c4688e4aa84ec7539'),
+  ('img_000000000007', CAST(18 AS INTEGER), CAST(36 AS INTEGER), '278fdb69e9f534fcf2953bdb20be0cf1'),
+  ('img_000000000008', CAST(18 AS INTEGER), CAST(36 AS INTEGER), '5618c57b26b1b0a41345cc7748d5b907'),
+  ('img_000000000009', CAST(18 AS INTEGER), CAST(36 AS INTEGER), 'a525bad4c1fffe8855659797391cc228'),
+  ('img_000000000010', CAST(18 AS INTEGER), CAST(36 AS INTEGER), '2d40628545d2389da6ba2838960abe27'),
+  ('img_000000000011', CAST(18 AS INTEGER), CAST(36 AS INTEGER), '2cead655aebc71c99e0f8ab246bcbf9f')
+) AS t(image_id, w, h, crop_md5)
 """
 
 
@@ -1672,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": g_embedding_neardup,
         "ivf_knn": g_ivf_knn,
         "image_features": g_image_features,
+        "crop_stats": g_crop_stats,
         "frame_sample": g_frame_sample,
         "audio_features": g_audio_features,
         "scot_tracking": g_scot,
@@ -1722,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "image_features": SQL_IMAGE_FEATURES,
+        "crop_stats": SQL_CROP_STATS,
         "frame_sample": _sql_frame_sample(),
         "audio_features": SQL_AUDIO_FEATURES,
         "scot_tracking": SQL_SCOT_TRACKING,

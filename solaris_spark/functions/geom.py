@@ -658,6 +658,9 @@ def iou_wkt(wkt_a: str, wkt_b: str) -> float:
         return 0.0
     aa = polygon_area("POLYGON EMPTY") if not ra else abs(sum(ring_signed_area(r) for r in ra))
     ab = 0.0 if not rb else abs(sum(ring_signed_area(r) for r in rb))
+    # the fan-triangle intersection can overshoot the shoelace area by a few
+    # ulps on sliver polygons; A∩B ≤ min(area A, area B) holds exactly
+    inter = min(inter, aa, ab)
     union = aa + ab - inter
     return inter / union if union > 0 else 0.0
 

@@ -54,8 +54,13 @@ def xyz_to_face_uv(x, y, z):
 
 def uv_to_st(u: np.ndarray) -> np.ndarray:
     """S2 QUADRATIC projection: equalizes cell areas across a face."""
-    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u),
-                    1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    # clip each sqrt argument at 0: np.where evaluates BOTH branches, so the
+    # discarded branch would hit sqrt(negative) and spray RuntimeWarnings
+    # into executor logs for |u| > 1/3 (the result was already correct)
+    u = np.asarray(u, dtype=np.float64)
+    return np.where(u >= 0,
+                    0.5 * np.sqrt(np.maximum(1.0 + 3.0 * u, 0.0)),
+                    1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * u, 0.0)))
 
 
 def st_to_uv(s: np.ndarray) -> np.ndarray:

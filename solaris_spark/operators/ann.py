@@ -95,23 +95,27 @@ def train_centroids(vectors: DataFrame, vec_col: str, n_cells: int,
     Deterministic: initial centroids are the first n_cells rows; assignment
     runs as a broadcast-centroid pandas UDF and the update as one Spark
     aggregation per iteration (scales to any N; plan size independent of
-    n_cells)."""
+    both n_cells and dim)."""
     spark = vectors.sparkSession
     sample = vectors.select(vec_col)
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
     first = sample.limit(n_cells).collect()
     cents = np.array([r[0] for r in first], dtype=np.float64)
-    dim = cents.shape[1]
     for _ in range(iters):
         bc = _broadcast_centroids(spark, cents)
         assign = _cell_assign_udf(bc)
+        # array-native update: posexplode → per-(cell, dim) avg → re-pack.
+        # Plan size is independent of dim (the old per-dim F.avg(vec[i])
+        # expression list built dim aggregate expressions — O(dim) codegen).
         agg = (sample.withColumn("cell", assign(F.col(vec_col)))
+               .select("cell", F.posexplode(
+                   F.col(vec_col).cast("array<double>")).alias("i", "x"))
+               .groupBy("cell", "i").agg(F.avg("x").alias("m"))
                .groupBy("cell")
-               .agg(F.array(*[
-                   F.avg(F.expr(f"CAST({vec_col}[{i}] AS DOUBLE)"))
-                   for i in range(dim)]).alias("centroid"),
-                   F.count(F.lit(1)).alias("n"))
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("i", "m"))),
+                   lambda s: s["m"]).alias("centroid"))
                .collect())
         # the collect above fully consumed this iteration's centroids —
         # release the broadcast instead of leaking one per Lloyd iteration

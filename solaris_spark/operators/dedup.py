@@ -10,6 +10,8 @@ baseline in ann.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -175,21 +177,31 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                              n_planes: int = 16,
                              seed: int = 42) -> DataFrame:
     """Embedding-cosine near-dups via random-hyperplane (SRP) LSH:
-    sign-sketch each vector against n_planes seeded hyperplanes (generated
-    deterministically from `seed` inside the expression), bucket on the
-    sketch, refine with exact cosine ≥ threshold."""
-    import numpy as np
+    sign-sketch each vector against n_planes seeded hyperplanes, bucket on
+    the sketch, refine with exact cosine ≥ threshold.
+
+    The (n_planes × dim) plane matrix travels as a Spark BROADCAST consumed
+    by one Arrow-batched pandas UDF (a single matrix product per batch) —
+    NOT as unrolled SQL literal arrays, whose codegen cost grows with
+    n_planes × dim (~12k literals at dim=768; same fix as the IVF
+    centroids in ann.py)."""
     rng = np.random.default_rng(seed)
     dim_probe = len(emb.select(vec_col).first()[0])
     planes = rng.standard_normal((n_planes, dim_probe))
-    sketch_bits = []
-    for p in range(n_planes):
-        arr = "array(" + ",".join(f"{v!r}D" for v in planes[p]) + ")"
-        dot = (f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> "
-               f"CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)")
-        sketch_bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
-    sketch = F.expr("concat(" + ", ".join(sketch_bits) + ")")
-    s = emb.select(id_col, vec_col, sketch.alias("sketch"))
+    bc = emb.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(planes))
+
+    @F.pandas_udf("string")
+    def srp_sketch(v: pd.Series) -> pd.Series:
+        P = bc.value
+        if not len(v):
+            return pd.Series([], dtype="object")
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (X @ P.T) >= 0.0
+        return pd.Series(["".join("1" if b else "0" for b in row)
+                          for row in bits])
+
+    s = emb.select(id_col, vec_col, srp_sketch(F.col(vec_col)).alias("sketch"))
     a, b = s.alias("a"), s.alias("b")
     j = a.join(b, (F.col("a.sketch") == F.col("b.sketch"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

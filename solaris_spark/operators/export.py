@@ -122,11 +122,16 @@ def coco_from_tile_dirs(spark, im_dir: str, gj_dir: str,
 
     manifest = make_dataset_manifest(
         spark, im_dir, "tif", gj_dir, "geojson", match_re=match_re)
-    rows = manifest.orderBy("image").collect()
-    img_ids = {r["image"]: k + 1 for k, r in enumerate(rows)}
-    jobs = spark.createDataFrame(
-        [(img_ids[r["image"]], r["image"], r["label"]) for r in rows],
-        "img_id int, image string, label string")
+    # 1-based ids in sorted-image order, assigned DISTRIBUTED via a global
+    # row_number — the single-partition sort carries only (image, label)
+    # path strings, never pixels, and replaces the former driver-side
+    # collect of the whole manifest (driver-bound at 10^8 tiles).
+    from pyspark.sql import Window as _W
+    jobs = (manifest
+            .withColumn("img_id",
+                        F.row_number().over(_W.orderBy("image")).cast("int"))
+            .select("img_id", "image", "label"))
+    n_pairs = jobs.count()
 
     out_schema = TT.StructType([
         TT.StructField("image_id", TT.StringType()),
@@ -154,7 +159,7 @@ def coco_from_tile_dirs(spark, im_dir: str, gj_dir: str,
             yield pd.DataFrame(out, columns=[f.name for f
                                              in out_schema.fields])
 
-    lab = jobs.repartition(max(4, min(len(rows), 256))) \
+    lab = jobs.repartition(max(4, min(n_pairs, 256))) \
         .mapInPandas(gen, schema=out_schema)
     coco = coco_annotations(lab)
     return coco.withColumn("image_id", F.col("image_id").cast("int"))

@@ -171,7 +171,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     """Small-step label propagation (min-label flooding) — enough for road
     QA queries ('how many disconnected subnetworks'); switch to GraphFrames
     on a real cluster for large diameters."""
-    comp = nodes.select("node_id", F.col("node_id").alias("component"))
+    seed_comp = nodes.select("node_id", F.col("node_id").alias("component"))
+    comp = seed_comp
     sym = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
            .unionByName(edges.select(F.col("dst").alias("a"),
                                      F.col("src").alias("b"))).distinct())
@@ -185,8 +186,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                        .alias("component")))
         changed = (new.alias("n").join(comp.alias("c"), "node_id")
                    .filter(F.col("n.component") != F.col("c.component")).count())
+        prev = comp
         comp = new.persist()
-        comp.count()
+        comp.count()  # materialize before releasing the previous iteration
+        if prev is not seed_comp:
+            prev.unpersist()
         if changed == 0:
             break
     return comp

@@ -196,7 +196,9 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
 
     Exactness contract (both modes): exact when the true k-th neighbor
     lies within `max_ring` cells — callers size cell_size ≈ expected kNN
-    radius.  Returns (qid, tid, dist, rank)."""
+    radius.  Returns (qid, tid, dist, rank).  Adaptive mode is EAGER: the
+    result is localCheckpoint-materialized so the per-ring caches can be
+    released before returning (single-pass mode stays lazy)."""
     q = (queries.select(qid, F.col(x).alias("_qx"), F.col(y).alias("_qy"))
          .withColumn("_qcx", F.floor(F.col("_qx") / F.lit(cell_size)).cast("long"))
          .withColumn("_qcy", F.floor(F.col("_qy") / F.lit(cell_size)).cast("long")))
@@ -206,7 +208,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     if not adaptive:
         return _knn_pass(q, t, k, cell_size, max_ring, qid, tid)
 
-    done = []
+    done, cached = [], []
     ring = 1
     while True:
         # persist each pass: its rows feed BOTH the settledness check and
@@ -214,6 +216,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
         # this lineage — without caching every ring's candidate join would
         # re-execute 2-3x and lineage depth would compound per iteration
         res = _knn_pass(q, t, k, cell_size, ring, qid, tid).persist()
+        cached.append(res)
         if ring >= max_ring:
             done.append(res)
             break
@@ -225,12 +228,19 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
                    .select(qid))
         done.append(res.join(settled, qid, "left_semi"))
         q = q.join(settled, qid, "left_anti").persist()
+        cached.append(q)
         if q.isEmpty():  # bounded: ≤ log2(max_ring)+1 driver actions
             break
         ring = min(ring * 2, max_ring)
     out = done[0]
     for d in done[1:]:
         out = out.unionByName(d)
+    # materialize the bounded (≤ k rows/query) result once, truncating the
+    # lineage, then release every per-ring cache — otherwise each call
+    # leaks its per-pass persists for the session lifetime (ADVICE r2)
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
     return out
 
 

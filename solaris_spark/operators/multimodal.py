@@ -140,6 +140,76 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
         .mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+CROP_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), True),
+    T.StructField("w", T.IntegerType(), True),
+    T.StructField("h", T.IntegerType(), True),
+    T.StructField("fmt", T.StringType(), True),
+])
+
+
+def crop_images(images: DataFrame, bounds, mode: str = "pixel") -> DataFrame:
+    """Crop every image to `bounds` — solaris/preproc/image.py:373-409
+    (`Crop`) semantics re-expressed as one mapInPandas pass:
+
+    - bounds = [left, bottom, right, top].
+    - mode='pixel': INCLUSIVE pixel window (gdal srcWin width =
+      right − left + 1, height = bottom − top + 1, i.e. rows top..bottom
+      and cols left..right inclusive), clamped to the image extent.
+    - mode='geo': requires a `transform` column (6-element GDAL-order
+      affine [x0, dx, 0, y0, 0, dy]); bounds are georeferenced
+      [left, bottom, right, top] converted through the affine the way
+      gdal.Translate projWin does (round-to-nearest pixel offsets), and
+      the output rows carry the window-shifted affine.
+
+    Decode happens executor-side in Arrow batches; shuffles never carry
+    pixels (crop is a map — no shuffle at all)."""
+    if mode not in ("pixel", "p", 0, "geo", "g", 1):
+        raise ValueError(f"invalid crop mode: {mode}")
+    geo = mode in ("geo", "g", 1)
+    schema = CROP_SCHEMA
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    if geo:
+        schema = T.StructType(
+            CROP_SCHEMA.fields
+            + [T.StructField("transform", T.ArrayType(T.DoubleType()), True)])
+        cols = cols + ["transform"]
+    left, bottom, right, top = (float(v) for v in bounds)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_image_any(r.fmt, r.bytes, int(r.w), int(r.h))
+                C, H, W = arr.shape
+                if geo:
+                    gt = [float(v) for v in r.transform]
+                    x0 = int(round((left - gt[0]) / gt[1]))
+                    y0 = int(round((top - gt[3]) / gt[5]))
+                    x1 = int(round((right - gt[0]) / gt[1]))
+                    y1 = int(round((bottom - gt[3]) / gt[5]))
+                else:
+                    x0, y0 = int(left), int(top)
+                    x1, y1 = int(right) + 1, int(bottom) + 1
+                x0c, y0c = max(0, x0), max(0, y0)
+                x1c, y1c = min(W, x1), min(H, y1)
+                if x1c <= x0c or y1c <= y0c:
+                    continue
+                win = np.ascontiguousarray(arr[:, y0c:y1c, x0c:x1c])
+                rec = dict(image_id=r.image_id, bytes=win.tobytes(),
+                           w=int(x1c - x0c), h=int(y1c - y0c),
+                           fmt=r.fmt)
+                if geo:
+                    gt = [float(v) for v in r.transform]
+                    rec["transform"] = [gt[0] + x0c * gt[1], gt[1], gt[2],
+                                        gt[3] + y0c * gt[5], gt[4], gt[5]]
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return images.select(*cols).mapInPandas(run, schema=schema)
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType([
     T.StructField("clip_id", T.StringType(), False),
     T.StructField("duration_sec", T.DoubleType(), True),

@@ -115,6 +115,13 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     UDF; a true O(1)-update Rabin-Karp hash is an executor-side
     micro-optimization the relational plan doesn't need.
     Returns (id, fp) distinct fingerprints per doc.
+
+    Minimum-length contract: documents shorter than k + window − 1 chars
+    (fewer than `window` k-grams) emit NO fingerprints and therefore never
+    appear in winnow_near_dup_pairs — consistent with the winnowing
+    guarantee, which only covers shared substrings of length ≥ k + 2w − 2.
+    For corpora with such short documents, lower (k, window) or dedup them
+    with minhash/simhash, which have no length floor.
     """
     n_grams = F.length(F.col(text_col)) - k + 1
     g = (docs.filter(n_grams >= window)

@@ -153,4 +153,10 @@ def run_resumable(spark: SparkSession, inputs: DataFrame, key: str,
     for i in range(0, len(todo_ids), commit_every):
         chunk = todo_ids[i:i + commit_every]
         process(staged.filter(F.col("partition_id").isin(chunk)), chunk)
+    # the staging copy is only needed while this run can still be resumed;
+    # all chunks committed → delete it (otherwise each run_id leaks a full
+    # copy of the input under <out_dir>_tasks_staging)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(stage)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
     return summary

@@ -169,6 +169,51 @@ class TestMultimodal:
         arr = np.frombuffer(small[0]["bytes"], dtype=np.uint8)
         assert len(arr) == 3 * 32 * 32
 
+    def test_crop_pixel_matches_numpy_slice(self, spark):
+        from solaris_spark.sources import synth
+        images = synth.images_table(spark, 2, include_fixture=False)
+        src = {r["image_id"]: r for r in images.collect()}
+        # bounds [left, bottom, right, top], INCLUSIVE (reference Crop:
+        # gdal srcWin width = right-left+1, height = bottom-top+1)
+        out = {r["image_id"]: r for r in
+               multimodal.crop_images(images, [3, 40, 20, 5]).collect()}
+        assert set(out) == set(src)
+        for iid, r in out.items():
+            s = src[iid]
+            arr = multimodal.decode_image_any(
+                s["fmt"], bytes(s["bytes"]), s["w"], s["h"])
+            exp = arr[:, 5:41, 3:21]
+            assert (r["w"], r["h"]) == (18, 36)
+            got = multimodal.decode_image_any(
+                r["fmt"], bytes(r["bytes"]), r["w"], r["h"])
+            assert np.array_equal(got, exp)
+        # clamped: a window larger than the image returns the whole image
+        full = multimodal.crop_images(images, [0, 10**6, 10**6, 0]).collect()
+        for r in full:
+            s = src[r["image_id"]]
+            assert (r["w"], r["h"]) == (s["w"], s["h"])
+            assert bytes(r["bytes"]) == bytes(s["bytes"])
+
+    def test_crop_geo_shifts_affine(self, spark):
+        from solaris_spark.sources import synth
+        one = synth.images_table(spark, 1, include_fixture=False)
+        gt = [100.0, 2.0, 0.0, 500.0, 0.0, -2.0]
+        geo = one.withColumn(
+            "transform",
+            F.array(*[F.lit(v) for v in gt]).cast("array<double>"))
+        s = one.collect()[0]
+        # geo bounds [left, bottom, right, top] → pixel window via the affine
+        out = multimodal.crop_images(
+            geo, [108.0, 468.0, 120.0, 488.0], mode="geo").collect()[0]
+        arr = multimodal.decode_image_any(
+            s["fmt"], bytes(s["bytes"]), s["w"], s["h"])
+        exp = arr[:, 6:16, 4:10]
+        assert (out["w"], out["h"]) == (6, 10)
+        got = multimodal.decode_image_any(
+            out["fmt"], bytes(out["bytes"]), out["w"], out["h"])
+        assert np.array_equal(got, exp)
+        assert list(out["transform"]) == [108.0, 2.0, 0.0, 488.0, 0.0, -2.0]
+
     def test_unknown_codec_raises(self):
         with pytest.raises(NotImplementedError):
             multimodal.decode_image_any("png", b"\x89PNG", 4, 4)
