@@ -802,6 +802,25 @@ def g_image_features(spark, sf_dir):
                         "phash").orderBy("image_id")
 
 
+def g_windowed_tiles(spark, sf_dir):
+    """COG-style byte-range tiling of the reference fixture GeoTIFF: the
+    manifest carries only (path, geo); every task windowed-reads just the
+    strips under its tile (tiffio.read_tiff_window).  md5 of each tile's
+    pixel payload pins byte-parity with the full-decode path (VALUES
+    oracle; tests/test_windowed_tiles.py proves raster_tiles equality)."""
+    from solaris_spark.operators import tiling
+    files = spark.createDataFrame(
+        [("fixture", "/root/reference/solaris/data/sample_geotiff.tif",
+          900, 900, 0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0, None)],
+        "image_id string, path string, w int, h int, a double, b double, "
+        "c double, d double, e double, f double, nodata double")
+    t = tiling.raster_tiles_windowed(files, (256, 256), partitions=8)
+    return (t.select("tile_id", "tx", "ty",
+                     F.md5(F.col("pixels")).alias("tile_md5"),
+                     F.round("nodata_frac", 6).alias("nodata_frac"))
+            .orderBy("tile_id"))
+
+
 def g_crop_stats(spark, sf_dir):
     """Pixel-window image crop (reference preproc/image.py:373-409 Crop:
     INCLUSIVE [left, bottom, right, top] srcWin) over the deterministic
@@ -1122,6 +1141,31 @@ p AS (
   FROM u a, u b WHERE a.vec_id < b.vec_id)
 SELECT da, db, ROUND(cosine, 6) AS cosine FROM p
 WHERE cosine >= 0.999 ORDER BY da, db
+"""
+
+
+# Pinned output of g_windowed_tiles: byte-range tiling of the reference
+# fixture GeoTIFF (md5 per tile payload; pixel parity with the full-decode
+# path is proven in tests/test_windowed_tiles.py).
+SQL_WINDOWED_TILES = """
+SELECT * FROM (VALUES
+  ('fixture_733601_3724817', CAST(0 AS INTEGER), CAST(0 AS INTEGER), '60198e9b27956c6a06baa1aa661c0912', CAST(0.0 AS DOUBLE)),
+  ('fixture_733601_3724945', CAST(0 AS INTEGER), CAST(1 AS INTEGER), 'ae383c6e2802f707d894b12d3c8b38c5', CAST(0.0 AS DOUBLE)),
+  ('fixture_733601_3725073', CAST(0 AS INTEGER), CAST(2 AS INTEGER), '06ba03d1c4c5671218e846702dcd3428', CAST(0.0 AS DOUBLE)),
+  ('fixture_733601_3725201', CAST(0 AS INTEGER), CAST(3 AS INTEGER), '39a6ab84f40df3dfcc437f53fa2387b7', CAST(0.484375 AS DOUBLE)),
+  ('fixture_733729_3724817', CAST(1 AS INTEGER), CAST(0 AS INTEGER), 'a5c564f52e2598db0beff6c5004fb3dc', CAST(0.0 AS DOUBLE)),
+  ('fixture_733729_3724945', CAST(1 AS INTEGER), CAST(1 AS INTEGER), '1a1a7f8b9e2592b62c65c56e35e5b578', CAST(0.0 AS DOUBLE)),
+  ('fixture_733729_3725073', CAST(1 AS INTEGER), CAST(2 AS INTEGER), '67d794614bef6c8142dbee679d6bee25', CAST(0.0 AS DOUBLE)),
+  ('fixture_733729_3725201', CAST(1 AS INTEGER), CAST(3 AS INTEGER), '586952f9429be971066fdf4d0e63dae3', CAST(0.484375 AS DOUBLE)),
+  ('fixture_733857_3724817', CAST(2 AS INTEGER), CAST(0 AS INTEGER), '4b6212cc112192fe0923c98ef7a04c6b', CAST(0.0 AS DOUBLE)),
+  ('fixture_733857_3724945', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '3f936fb900bdac1ba3a771e7fcb6500d', CAST(0.0 AS DOUBLE)),
+  ('fixture_733857_3725073', CAST(2 AS INTEGER), CAST(2 AS INTEGER), 'e542e20a27fc5e3220ad50e2ad84b9fd', CAST(0.0 AS DOUBLE)),
+  ('fixture_733857_3725201', CAST(2 AS INTEGER), CAST(3 AS INTEGER), 'ac92e05dd2917951bb10baff58fd74e1', CAST(0.484375 AS DOUBLE)),
+  ('fixture_733985_3724817', CAST(3 AS INTEGER), CAST(0 AS INTEGER), '20608b5d391417d602543c4b1af3f7fe', CAST(0.484375 AS DOUBLE)),
+  ('fixture_733985_3724945', CAST(3 AS INTEGER), CAST(1 AS INTEGER), '548233bd76abbaecb4fc7336a447999f', CAST(0.484375 AS DOUBLE)),
+  ('fixture_733985_3725073', CAST(3 AS INTEGER), CAST(2 AS INTEGER), 'ce8c79bc47e7580a7f2075069d4dc765', CAST(0.484375 AS DOUBLE)),
+  ('fixture_733985_3725201', CAST(3 AS INTEGER), CAST(3 AS INTEGER), 'fa73ab57e553f519282df72e026807bc', CAST(0.734131 AS DOUBLE))
+) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
 """
 
 
@@ -1707,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": g_ivf_knn,
         "image_features": g_image_features,
         "crop_stats": g_crop_stats,
+        "windowed_tiles": g_windowed_tiles,
         "frame_sample": g_frame_sample,
         "audio_features": g_audio_features,
         "scot_tracking": g_scot,
@@ -1758,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "image_features": SQL_IMAGE_FEATURES,
         "crop_stats": SQL_CROP_STATS,
+        "windowed_tiles": SQL_WINDOWED_TILES,
         "frame_sample": _sql_frame_sample(),
         "audio_features": SQL_AUDIO_FEATURES,
         "scot_tracking": SQL_SCOT_TRACKING,

@@ -187,6 +187,71 @@ def raster_tiles(images_geo: DataFrame, tile_size: tuple[int, int],
     return images_geo.select(*cols).mapInPandas(gen, schema=TILE_SCHEMA)
 
 
+def raster_tiles_windowed(manifest_geo: DataFrame, tile_size: tuple[int, int],
+                          nodata_threshold: float | None = None,
+                          partitions: int | None = None) -> DataFrame:
+    """File-backed tiling via BYTE-RANGE windowed reads — the COG access
+    path (reference designed but never shipped it: solaris/utils/tile.py:
+    34-158).  Input is a MANIFEST (image_id, path, w, h, a..f, nodata) —
+    no pixel blobs.  The tile grid is derived first (tile_grid — metadata
+    only), each (image, tile) becomes an independent job spread across
+    tasks, and every task reads ONLY the TIFF strips overlapping its tile
+    window (functions/tiffio.read_tiff_window).
+
+    Two 100 TB wins over decode-whole-then-slice (raster_tiles — still the
+    right path when pixels already sit in table blobs):
+    - per-task I/O ∝ tile bytes, not image bytes: a 10 GB image never
+      transits whole — on object stores these become HTTP Range GETs;
+    - a mega-image's 10^5 tiles parallelize across the cluster instead of
+      serializing inside one decode task (tile-density skew lever).
+    Production note: tasks re-fetch the small header/IFD per tile; an
+    object-store deployment would cache the parsed IFD per (task, file).
+
+    Pixel output is byte-identical to raster_tiles on the same pixels
+    (boundless edge tiles nodata-filled the same way)."""
+    ty_px, tx_px = tile_size
+    grid = tile_grid(manifest_geo, tile_size)
+    meta = manifest_geo.select("image_id", "path", "c", "f", "a", "e",
+                               "nodata")
+    jobs = grid.join(F.broadcast(meta), "image_id")
+    if partitions:
+        jobs = jobs.repartition(partitions, "tile_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.tiffio import read_tiff_window
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                a, e = float(row.a), float(row.e)
+                col0 = int(round((row.xmin - row.c) / a))
+                row0 = int(round((row.ymax - row.f) / e))
+                nod = row.nodata if row.nodata is not None \
+                    and not pd.isna(row.nodata) else 0
+                win = read_tiff_window(row.path, row0, col0, ty_px, tx_px)
+                C = win.array.shape[0]
+                tile = np.full((C, ty_px, tx_px), nod,
+                               dtype=win.array.dtype)
+                r0, c0, r1, c1 = win.tags["window"]
+                tile[:, r0 - row0: r1 - row0, c0 - col0: c1 - col0] = \
+                    win.array
+                nf = R.nodata_fraction(tile, nod)
+                if nodata_threshold is not None and nf >= nodata_threshold:
+                    continue
+                dt = tile.dtype
+                fmt = f"raw-{dt.kind}{dt.itemsize * 8}-c{C}"
+                out.append(dict(
+                    tile_id=row.tile_id, image_id=row.image_id,
+                    tx=row.tx, ty=row.ty,
+                    xmin=row.xmin, ymin=row.ymin,
+                    xmax=row.xmax, ymax=row.ymax,
+                    pixels=tile.tobytes(), th=ty_px, tw=tx_px,
+                    nchan=C, fmt=fmt, a=a, e=e, nodata_frac=nf))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in TILE_SCHEMA.fields])
+
+    return jobs.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
 def raster_tiles_warped(images_geo: DataFrame, tile_size: tuple[int, int],
                         dest_epsg: int, dest_res: tuple[float, float],
                         nodata_threshold: float | None = None) -> DataFrame:
