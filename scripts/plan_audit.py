@@ -87,9 +87,44 @@ def main():
     audit("dedup_exact (single agg)", qs["dedup_exact"](spark, sf_dir),
           forbid=("Join", "CartesianProduct"))
 
-    # 6. knn_spatial: cell equi-join (adaptive pass 1), no cartesian
-    audit("knn_spatial (cell equi-join)", qs["knn_spatial"](spark, sf_dir),
-          forbid=("CartesianProduct",))
+    # 6. knn_join: cell equi-join, no cartesian.  Audited in SINGLE-PASS
+    # mode (adaptive=False): adaptive mode localCheckpoints eagerly, so
+    # its executedPlan is just 'Scan ExistingRDD' and auditing it would be
+    # vacuous — the single-pass plan contains the same _knn_pass join
+    # shape every adaptive ring runs.
+    from solaris_spark.operators import joins as J
+    pts = spark.range(500).selectExpr(
+        "id as qid", "cast(id % 37 as double) as x",
+        "cast(id % 53 as double) as y")
+    tgt = spark.range(500).selectExpr(
+        "id as tid", "cast(id % 41 as double) as x",
+        "cast(id % 59 as double) as y")
+    audit("knn_join single-pass (cell equi-join)",
+          J.knn_join(pts, tgt, k=3, cell_size=8.0, adaptive=False),
+          expect=("Join",), forbid=("CartesianProduct",))
+
+    # 7. SRP embedding sketch: plan size must be independent of embedding
+    # dim (the hyperplanes ride a broadcast consumed by one pandas UDF —
+    # NOT n_planes × dim SQL literal arrays; VERDICT r02 #3)
+    import pyspark.sql.functions as F
+
+    from solaris_spark.operators import dedup
+
+    def srp_plan_len(dim):
+        df = spark.range(64).select(
+            F.col("id").alias("vec_id"),
+            F.expr(f"transform(sequence(1, {dim}), "
+                   "i -> cast(id * i % 97 as double))").alias("embedding"))
+        q = dedup.embedding_near_dup_pairs(df)
+        return len(q._jdf.queryExecution().executedPlan().toString())
+
+    l16, l768 = srp_plan_len(16), srp_plan_len(768)
+    srp_ok = l768 <= int(l16 * 1.5)
+    checks.append(("srp_sketch plan size dim-independent", srp_ok))
+    sections.append(
+        f"## srp_sketch plan size — {'PASS' if srp_ok else 'FAIL'}\n\n"
+        f"- executedPlan chars at dim=16: {l16}; at dim=768: {l768} "
+        f"(bound: ≤1.5×) — hyperplanes are a broadcast, not literals\n")
 
     md = ["# BENCH/PLANS — physical-plan audit of headline operators\n",
           "Auto-generated by scripts/plan_audit.py — asserts the plan",

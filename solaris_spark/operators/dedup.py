@@ -171,6 +171,9 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+_SRP_PLANES: dict = {}  # (applicationId, seed, n_planes, dim) → broadcast
+
+
 def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,
@@ -188,8 +191,15 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
     rng = np.random.default_rng(seed)
     dim_probe = len(emb.select(vec_col).first()[0])
     planes = rng.standard_normal((n_planes, dim_probe))
-    bc = emb.sparkSession.sparkContext.broadcast(
-        np.ascontiguousarray(planes))
+    # one broadcast per (app, seed, n_planes, dim): the result is lazy so
+    # the broadcast can't be unpersisted here; caching bounds the leak to
+    # one live broadcast per distinct plane family instead of one per call
+    sc = emb.sparkSession.sparkContext
+    key = (sc.applicationId, seed, n_planes, dim_probe)
+    bc = _SRP_PLANES.get(key)
+    if bc is None:
+        bc = sc.broadcast(np.ascontiguousarray(planes))
+        _SRP_PLANES[key] = bc
 
     @F.pandas_udf("string")
     def srp_sketch(v: pd.Series) -> pd.Series:

@@ -131,7 +131,9 @@ def coco_from_tile_dirs(spark, im_dir: str, gj_dir: str,
             .withColumn("img_id",
                         F.row_number().over(_W.orderBy("image")).cast("int"))
             .select("img_id", "image", "label"))
-    n_pairs = jobs.count()
+    # size the repartition from the manifest (pre-window) so the global
+    # sort isn't evaluated twice
+    n_pairs = manifest.count()
 
     out_schema = TT.StructType([
         TT.StructField("image_id", TT.StringType()),

@@ -198,7 +198,12 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     lies within `max_ring` cells — callers size cell_size ≈ expected kNN
     radius.  Returns (qid, tid, dist, rank).  Adaptive mode is EAGER: the
     result is localCheckpoint-materialized so the per-ring caches can be
-    released before returning (single-pass mode stays lazy)."""
+    released before returning.  Two consequences: downstream filters no
+    longer push into the join (filter the QUERY set before calling
+    instead), and localCheckpoint blocks are executor-local — on a real
+    cluster where executor loss matters, set a reliable checkpoint dir and
+    swap in .checkpoint(), or use adaptive=False, which stays fully lazy
+    and recomputable."""
     q = (queries.select(qid, F.col(x).alias("_qx"), F.col(y).alias("_qy"))
          .withColumn("_qcx", F.floor(F.col("_qx") / F.lit(cell_size)).cast("long"))
          .withColumn("_qcy", F.floor(F.col("_qy") / F.lit(cell_size)).cast("long")))

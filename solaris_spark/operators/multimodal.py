@@ -164,9 +164,14 @@ def crop_images(images: DataFrame, bounds, mode: str = "pixel") -> DataFrame:
       the output rows carry the window-shifted affine.
 
     Decode happens executor-side in Arrow batches; shuffles never carry
-    pixels (crop is a map — no shuffle at all)."""
-    if mode not in ("pixel", "p", 0, "geo", "g", 1):
-        raise ValueError(f"invalid crop mode: {mode}")
+    pixels (crop is a map — no shuffle at all).
+
+    Contract: images whose clamped window is EMPTY (bounds entirely
+    outside the raster, or a degenerate geo window) are DROPPED from the
+    output — callers needing to distinguish 'cropped away' from 'missing'
+    should anti-join the result against the input ids."""
+    if isinstance(mode, bool) or mode not in ("pixel", "p", 0, "geo", "g", 1):
+        raise ValueError(f"invalid crop mode: {mode!r}")
     geo = mode in ("geo", "g", 1)
     schema = CROP_SCHEMA
     cols = ["image_id", "bytes", "w", "h", "fmt"]

@@ -214,8 +214,14 @@ def raster_tiles_windowed(manifest_geo: DataFrame, tile_size: tuple[int, int],
     meta = manifest_geo.select("image_id", "path", "c", "f", "a", "e",
                                "nodata")
     jobs = grid.join(F.broadcast(meta), "image_id")
-    if partitions:
-        jobs = jobs.repartition(partitions, "tile_id")
+    # ALWAYS spread the jobs: tile_grid preserves the manifest's input
+    # partitioning and the meta join is broadcast (no shuffle), so without
+    # this a 1-row manifest would keep a mega-image's 10^5 tile jobs in a
+    # single task — the exact serialization this operator exists to avoid
+    if partitions is None:
+        partitions = int(manifest_geo.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    jobs = jobs.repartition(partitions, "tile_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.tiffio import read_tiff_window

@@ -214,6 +214,13 @@ class TestMultimodal:
         assert np.array_equal(got, exp)
         assert list(out["transform"]) == [108.0, 2.0, 0.0, 488.0, 0.0, -2.0]
 
+    def test_crop_mode_validation(self, spark):
+        from solaris_spark.sources import synth
+        images = synth.images_table(spark, 1, include_fixture=False)
+        for bad in (True, False, "geodesic", 2):
+            with pytest.raises(ValueError):
+                multimodal.crop_images(images, [0, 1, 1, 0], mode=bad)
+
     def test_unknown_codec_raises(self):
         with pytest.raises(NotImplementedError):
             multimodal.decode_image_any("png", b"\x89PNG", 4, 4)
