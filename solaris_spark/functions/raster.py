@@ -29,12 +29,19 @@ from . import geom as G
 
 def rasterize_rings(rings: list[np.ndarray], shape: tuple[int, int],
                     out: np.ndarray | None = None, value: int = 1,
-                    winding: bool = False) -> np.ndarray:
+                    winding: bool = False, accumulate: bool = False) -> np.ndarray:
     """Fill one polygon (exterior + hole rings, even-odd) into a (H, W) array.
 
     Coordinates are in pixel space (col = x, row = y), matching
     features.rasterize with the identity transform used at
     solaris/vector/mask.py:204 for pixel-coordinate dataframes.
+
+    ``accumulate=True`` ADDS ``value`` to covered pixels instead of
+    replacing them (caller passes an integer ``out``) — overlap counting
+    without materializing a full-frame indicator per polygon.  Either way
+    only the polygon's bbox window is touched: per-label memory traffic is
+    O(bbox), not O(frame), which is what keeps the mask kernel off the
+    memory-bandwidth ceiling at high parallelism.
     """
     h, w = shape
     if out is None:
@@ -134,7 +141,10 @@ def rasterize_rings(rings: list[np.ndarray], shape: tuple[int, int],
     np.add.at(diff, (srows - rlo) * (ww + 1) + ends, -1)
     cov = np.cumsum(diff.reshape(wh, ww + 1), axis=1)[:, :ww] > 0
     sub = out[rlo:rhi + 1, clo:chi]
-    sub[cov] = value
+    if accumulate:
+        sub[cov] += value
+    else:
+        sub[cov] = value
     return out
 
 
@@ -151,8 +161,10 @@ def rasterize_shapes(shapes, shape: tuple[int, int],
     for rings, val in shapes:
         if inv is not None:
             rings = [G.affine_apply(r, inv) for r in rings]
-        m = rasterize_rings(rings, (h, w), value=1)
-        out[m > 0] = val
+        # burn directly into the shared frame (REPLACE on covered pixels —
+        # identical to the former out[m > 0] = val, without materializing
+        # a full-frame indicator + masked write per shape)
+        rasterize_rings(rings, (h, w), out=out, value=val)
     return out
 
 
@@ -165,13 +177,22 @@ def rasterize_shapes(shapes, shape: tuple[int, int],
 
 
 def rasterize_geos_buffer(rings: list[np.ndarray], radius: float,
-                          shape: tuple[int, int]) -> np.ndarray:
+                          shape: tuple[int, int],
+                          out: np.ndarray | None = None,
+                          accumulate: bool = False) -> np.ndarray:
     """Rasterize buffer(polygon, radius) pixel-exactly vs the reference's
     shapely-buffer → GDAL-rasterize path: build the GEOS-style offset curve
     (geom.offset_curve) and scanline-fill it with NONZERO winding and the
     GDAL boundary tie rules.  Boundary lines coincide with the GEOS buffer
-    polygon's, so ties resolve identically."""
+    polygon's, so ties resolve identically.
+
+    With ``accumulate=True`` (and an integer ``out``), adds +1 to the
+    buffered-union pixels in place — overlap counting with O(bbox) traffic
+    per call instead of a full-frame bool + astype + add."""
     curves = [G.offset_curve(r, radius) for r in rings if len(r) >= 4]
+    if accumulate:
+        return rasterize_rings(curves, shape, out=out, value=1,
+                               winding=True, accumulate=True)
     m = rasterize_rings(curves, shape, winding=True)
     return m > 0
 
