@@ -147,14 +147,15 @@ def road_masks(roads: DataFrame, images_geo: DataFrame,
                 curve = G.line_offset_curve(np.stack([E, N], axis=1), width / 2.0)
                 lon, lat = G.utm_to_wgs84(curve[:, 0], curve[:, 1], zone)
                 cpx = G.affine_apply(np.stack([lon, lat], axis=1), inv)
-                m = R.rasterize_rings([cpx], shape, winding=True)
-                mask[m > 0] = burn_value
+                # burn directly into the shared frame (O(bbox) traffic)
+                R.rasterize_rings([cpx], shape, out=mask, value=burn_value,
+                                  winding=True)
         else:
             for ln in lines:
                 ln_px = G.affine_apply(ln, inv) if epsg else ln
                 curve = G.line_offset_curve(ln_px, width / 2.0)
-                m = R.rasterize_rings([curve], shape, winding=True)
-                mask[m > 0] = burn_value
+                R.rasterize_rings([curve], shape, out=mask, value=burn_value,
+                                  winding=True)
         return pd.DataFrame([{
             "image_id": r0["image_id"], "mask": mask.tobytes(),
             "h": shape[0], "w": shape[1], "nchan": 1, "channels": "road"}])
