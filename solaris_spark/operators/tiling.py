@@ -204,15 +204,22 @@ def raster_tiles_windowed(manifest_geo: DataFrame, tile_size: tuple[int, int],
       transits whole — on object stores these become HTTP Range GETs;
     - a mega-image's 10^5 tiles parallelize across the cluster instead of
       serializing inside one decode task (tile-density skew lever).
-    Production note: tasks re-fetch the small header/IFD per tile; an
-    object-store deployment would cache the parsed IFD per (task, file).
+    The parsed header/IFD is cached per (executor process, file) in
+    tiffio._META_CACHE, so each file's metadata is fetched once per
+    worker, not once per tile task — on object stores those are
+    round-trips.  Handles strip AND tiled layouts, uncompressed AND
+    deflate, predictor 1/2 (the real COG interior format).
+
+    Requires north-up manifests: rows with a rotated affine (b or d
+    nonzero) raise, because the window inversion below is diagonal-only —
+    raster_tiles (full-decode path) handles those via cut_window.
 
     Pixel output is byte-identical to raster_tiles on the same pixels
     (boundless edge tiles nodata-filled the same way)."""
     ty_px, tx_px = tile_size
     grid = tile_grid(manifest_geo, tile_size)
-    meta = manifest_geo.select("image_id", "path", "c", "f", "a", "e",
-                               "nodata")
+    meta = manifest_geo.select("image_id", "path", "b", "d", "c", "f",
+                               "a", "e", "nodata")
     jobs = grid.join(F.broadcast(meta), "image_id")
     # ALWAYS spread the jobs: tile_grid preserves the manifest's input
     # partitioning and the meta join is broadcast (no shuffle), so without
@@ -229,6 +236,11 @@ def raster_tiles_windowed(manifest_geo: DataFrame, tile_size: tuple[int, int],
             out = []
             for row in pdf.itertuples(index=False):
                 a, e = float(row.a), float(row.e)
+                if float(row.b or 0.0) != 0.0 or float(row.d or 0.0) != 0.0:
+                    raise ValueError(
+                        f"raster_tiles_windowed: image {row.image_id} has a "
+                        "rotated affine (b/d nonzero) — windowed reads "
+                        "require north-up rasters; use raster_tiles")
                 col0 = int(round((row.xmin - row.c) / a))
                 row0 = int(round((row.ymax - row.f) / e))
                 nod = row.nodata if row.nodata is not None \

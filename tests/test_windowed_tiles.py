@@ -57,6 +57,106 @@ class TestWindowKernel:
             read_tiff_window(FIXTURE, 2000, 0, 64, 64)
 
 
+class TestTiledDeflate:
+    """The real COG interior layout: tile grid (tags 322-325) + deflate
+    (tag 259=8) + horizontal predictor (tag 317=2)."""
+
+    def _img(self, seed=3, shape=(3, 200, 176), dtype=np.uint8):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 255, size=shape).astype(dtype)
+
+    @pytest.mark.parametrize("kw", [
+        dict(tile=(64, 64)),
+        dict(tile=(64, 64), compress="deflate"),
+        dict(tile=(64, 64), compress="deflate", predictor=2),
+        dict(tile=(32, 48), compress="deflate"),
+        dict(compress="deflate"),              # strip + deflate
+        dict(compress="deflate", predictor=2),
+    ])
+    def test_roundtrip_full_and_windowed(self, tmp_path, kw):
+        arr = self._img()
+        p = str(tmp_path / "cog.tif")
+        write_tiff(p, arr, **kw)
+        assert np.array_equal(read_tiff(p).array, arr)
+        win = read_tiff_window(p, 33, 17, 90, 100)
+        assert np.array_equal(win.array, arr[:, 33:123, 17:117])
+
+    def test_dtype_roundtrip(self, tmp_path):
+        for dt in ("u1", "u2", "i2", "i4", "f4", "f8"):
+            arr = self._img(shape=(2, 70, 80), dtype=np.dtype(dt))
+            p = str(tmp_path / f"d_{dt}.tif")
+            pred = 1 if dt[0] == "f" else 2
+            write_tiff(p, arr, tile=(16, 16), compress="deflate",
+                       predictor=pred)
+            assert np.array_equal(read_tiff(p).array, arr), dt
+
+    def test_tiled_io_proportional_both_axes(self, tmp_path):
+        """The tiled win over strips: a small window reads ~window bytes
+        in BOTH axes, not whole rows."""
+        rng = np.random.default_rng(9)
+        big = rng.integers(0, 255, size=(3, 1024, 1024), dtype=np.uint8)
+        p = str(tmp_path / "big.tif")
+        write_tiff(p, big, tile=(64, 64), compress="deflate")
+        full = os.path.getsize(p)
+        win = read_tiff_window(p, 128, 256, 64, 64)
+        assert np.array_equal(win.array, big[:, 128:192, 256:320])
+        # 1 tile of 16x16=256 → ≲1% of the file (deflate on random data
+        # is ~incompressible, so bytes ∝ tile pixels)
+        assert win.tags["bytes_read"] < full / 100
+
+    def test_geotags_roundtrip_and_3072_preference(self, tmp_path):
+        """write_tiff(epsg=UTM) emits BOTH GeographicType(2048)=4326 and
+        ProjectedCSType(3072) the way GDAL does; readers must prefer
+        3072 (ADVICE r3: break-on-first reported the geographic code)."""
+        arr = self._img(shape=(1, 64, 64))
+        t = (0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0)
+        p = str(tmp_path / "geo.tif")
+        write_tiff(p, arr, transform=t, epsg=32616, nodata=0.0,
+                   tile=(32, 32), compress="deflate", predictor=2)
+        im = read_tiff(p)
+        assert im.transform == t and im.epsg == 32616 and im.nodata == 0.0
+        win = read_tiff_window(p, 32, 32, 32, 32)
+        assert win.epsg == 32616
+        assert win.transform == (0.5, 0.0, 733617.0, 0.0, -0.5, 3725123.0)
+
+    def test_rotated_affine_rejected_on_write(self, tmp_path):
+        with pytest.raises(ValueError):
+            write_tiff(str(tmp_path / "r.tif"), self._img(),
+                       transform=(0.5, 0.1, 0.0, 0.0, -0.5, 0.0))
+
+
+class TestIfdCache:
+    def test_second_window_skips_header(self, tmp_path):
+        """One header/IFD fetch per (process, file): the first window
+        parses and caches the IFD; later windows issue ONLY pixel-range
+        reads (VERDICT r3 next-round #2)."""
+        arr = np.random.default_rng(4).integers(
+            0, 255, size=(3, 300, 300), dtype=np.uint8)
+        p = str(tmp_path / "c.tif")
+        write_tiff(p, arr, tile=(64, 64), compress="deflate")
+        w1 = read_tiff_window(p, 0, 0, 64, 64)
+        assert w1.tags["meta_cached"] is False
+        w2 = read_tiff_window(p, 64, 64, 64, 64)
+        assert w2.tags["meta_cached"] is True
+        # pixel fetches coalesce adjacent tiles: a 1-tile window on a
+        # cached file is exactly one range request
+        w3 = read_tiff_window(p, 128, 128, 64, 64)
+        assert w3.tags["meta_cached"] is True and w3.tags["requests"] == 1
+
+    def test_overwrite_invalidates(self, tmp_path):
+        p = str(tmp_path / "o.tif")
+        a1 = np.full((1, 32, 32), 7, dtype=np.uint8)
+        a2 = np.full((1, 32, 32), 9, dtype=np.uint8)
+        write_tiff(p, a1)
+        assert read_tiff_window(p, 0, 0, 32, 32).array[0, 0, 0] == 7
+        import time
+        time.sleep(0.01)  # ensure mtime_ns differs
+        write_tiff(p, a2, tile=(16, 16), compress="deflate")
+        w = read_tiff_window(p, 0, 0, 32, 32)
+        assert w.tags["meta_cached"] is False
+        assert w.array[0, 0, 0] == 9
+
+
 class TestWindowedTiling:
     @pytest.fixture(scope="class")
     def tiff_manifest(self, tmp_path_factory):
@@ -112,6 +212,47 @@ class TestWindowedTiling:
             for col in ("image_id", "tx", "ty", "xmin", "ymin", "xmax",
                         "ymax", "th", "tw", "nchan", "fmt", "nodata_frac"):
                 assert r[col] == b[col], (tid, col)
+
+    def test_parity_cog_layout(self, spark, tiff_manifest):
+        """Same parity contract when the files on disk are tiled+deflate+
+        predictor COGs instead of uncompressed strips."""
+        from solaris_spark.operators import tiling
+
+        rows = []
+        for i, (iid, p, arr, w, h) in enumerate(tiff_manifest):
+            g = self._geo(i)
+            cp = p.replace(".tif", "_cog.tif")
+            write_tiff(cp, arr, tile=(64, 64), compress="deflate",
+                       predictor=2)
+            rows.append((iid, cp, w, h, g["a"], g["b"], g["c"], g["d"],
+                         g["e"], g["f"], None))
+        schema = ("image_id string, path string, w int, h int, a double, "
+                  "b double, c double, d double, e double, f double, "
+                  "nodata double")
+        strip = spark.createDataFrame(
+            [(iid, p, w, h, *[self._geo(i)[k] for k in "abcdef"], None)
+             for i, (iid, p, arr, w, h) in enumerate(tiff_manifest)], schema)
+        cog = spark.createDataFrame(rows, schema)
+        ref = {r["tile_id"]: r for r in
+               tiling.raster_tiles_windowed(strip, (90, 90)).collect()}
+        got = {r["tile_id"]: r for r in
+               tiling.raster_tiles_windowed(cog, (90, 90)).collect()}
+        assert set(got) == set(ref) and len(ref) > 0
+        for tid, r in got.items():
+            assert bytes(r["pixels"]) == bytes(ref[tid]["pixels"]), tid
+
+    def test_rotated_manifest_raises(self, spark, tiff_manifest):
+        from solaris_spark.operators import tiling
+
+        iid, p, arr, w, h = tiff_manifest[0]
+        files = spark.createDataFrame(
+            [(iid, p, w, h, 0.5, 0.01, 733601.0, 0.0, -0.5, 3725139.0,
+              None)],
+            "image_id string, path string, w int, h int, a double, "
+            "b double, c double, d double, e double, f double, "
+            "nodata double")
+        with pytest.raises(Exception, match="rotated affine"):
+            tiling.raster_tiles_windowed(files, (90, 90)).collect()
 
     def test_nodata_threshold_filter_matches(self, spark, tiff_manifest):
         from solaris_spark.operators import tiling
