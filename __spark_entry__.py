@@ -167,18 +167,19 @@ WHERE rank <= 2 ORDER BY l_orderkey, rank
 
 def q_conf_cumsum(spark, sf_dir):
     """Cumulative counts in conf-desc order — the mAP running-sum pattern
-    (eval/vector.py:484-492)."""
-    o = _load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    out = (o.filter(F.col("o_orderkey") <= 2000)
-           .withColumn("cum_n", F.count(F.lit(1)).over(w))
-           .withColumn("cum_price",
-                       F.sum(_dec(F.col("o_totalprice"))).over(w)
-                       .cast("double"))
-           .select("o_orderkey", "cum_n", "cum_price")
-           .orderBy("o_orderkey"))
-    return out
+    (eval/vector.py:484-492).  Computed as a DISTRIBUTED prefix sum
+    (plans/prefix.py: range-bucket the ordering key, per-bucket window,
+    literal bucket offsets) — the single-partition Window.orderBy plan
+    this replaces moves every row to one task at scale."""
+    from solaris_spark.plans.prefix import global_running_agg
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    out = global_running_agg(
+        o, "o_totalprice",
+        {"cum_n": F.lit(1), "cum_price_d": _dec(F.col("o_totalprice"))},
+        ascending=False, tie_cols=("o_orderkey",))
+    return (out.withColumn("cum_price", F.col("cum_price_d").cast("double"))
+            .select("o_orderkey", "cum_n", "cum_price")
+            .orderBy("o_orderkey"))
 
 
 SQL_CUMSUM = """
@@ -821,6 +822,59 @@ def g_windowed_tiles(spark, sf_dir):
             .orderBy("tile_id"))
 
 
+def g_windowed_tiles_cog(spark, sf_dir):
+    """Byte-range tiling of a REAL COG-layout GeoTIFF — tiled interior
+    (tags 322-325), deflate compression, horizontal predictor — written
+    deterministically by tiffio.write_tiff; every task fetches only the
+    file tiles under its output tile (tiffio.read_tiff_window, parsed-IFD
+    cached per worker).  md5 per tile payload pins byte parity (VALUES
+    oracle; tests/test_windowed_tiles.py proves strip/COG equality)."""
+    import numpy as np
+
+    from solaris_spark.functions.tiffio import write_tiff
+    from solaris_spark.operators import tiling
+    path = "/tmp/solaris_spark_cog_fixture.tif"
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 255, size=(3, 520, 610), dtype=np.uint8)
+    write_tiff(path, arr, tile=(256, 256), compress="deflate", predictor=2,
+               transform=(0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0),
+               epsg=32616)
+    files = spark.createDataFrame(
+        [("cog", path, 610, 520, 0.5, 0.0, 733601.0, 0.0, -0.5,
+          3725139.0, None)],
+        "image_id string, path string, w int, h int, a double, b double, "
+        "c double, d double, e double, f double, nodata double")
+    t = tiling.raster_tiles_windowed(files, (256, 256), partitions=8)
+    return (t.select("tile_id", "tx", "ty",
+                     F.md5(F.col("pixels")).alias("tile_md5"),
+                     F.round("nodata_frac", 6).alias("nodata_frac"))
+            .orderBy("tile_id"))
+
+
+def g_png_features(spark, sf_dir):
+    """Feature extraction over PNG-encoded images — the pure-Python codec
+    (functions/png.py) decoding inside the same mapInPandas pipeline as
+    raw blobs; features pinned equal to the raw-bytes path (lossless)."""
+    import numpy as np
+
+    from solaris_spark.functions.png import encode_png
+    from solaris_spark.operators import multimodal
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(8):
+        c = [1, 3, 3, 4][i % 4]
+        arr = rng.integers(0, 255, size=(c, 48, 64), dtype=np.uint8)
+        rows.append((f"png_{i}", bytearray(encode_png(arr, filter_type=i % 5)),
+                     64, 48, "png"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    feats = multimodal.image_features(images)
+    return feats.select("image_id",
+                        F.round(F.col("mean")[0], 4).alias("mean_c0"),
+                        F.round("edge_density", 4).alias("edge_density"),
+                        "phash").orderBy("image_id")
+
+
 def g_crop_stats(spark, sf_dir):
     """Pixel-window image crop (reference preproc/image.py:373-409 Crop:
     INCLUSIVE [left, bottom, right, top] srcWin) over the deterministic
@@ -1166,6 +1220,41 @@ SELECT * FROM (VALUES
   ('fixture_733985_3725073', CAST(3 AS INTEGER), CAST(2 AS INTEGER), 'ce8c79bc47e7580a7f2075069d4dc765', CAST(0.484375 AS DOUBLE)),
   ('fixture_733985_3725201', CAST(3 AS INTEGER), CAST(3 AS INTEGER), 'fa73ab57e553f519282df72e026807bc', CAST(0.734131 AS DOUBLE))
 ) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
+"""
+
+
+# Pinned output of g_windowed_tiles_cog: byte-range tiling of a tiled+
+# deflate+predictor GeoTIFF (deterministic seeded content; md5 per tile
+# payload — strip/COG byte parity proven in tests/test_windowed_tiles.py).
+SQL_WINDOWED_TILES_COG = """
+SELECT * FROM (VALUES
+  ('cog_733601_3725007', CAST(0 AS INTEGER), CAST(0 AS INTEGER), 'dbf715f806bf896909600fd49cec4ad8', CAST(0.0 AS DOUBLE)),
+  ('cog_733601_3725135', CAST(0 AS INTEGER), CAST(1 AS INTEGER), 'bb6e1c8a105a1fb0c59fd0d2da4231d1', CAST(0.0 AS DOUBLE)),
+  ('cog_733601_3725263', CAST(0 AS INTEGER), CAST(2 AS INTEGER), 'f9b66fd6d07d98b97efefbc51090742d', CAST(0.96875 AS DOUBLE)),
+  ('cog_733729_3725007', CAST(1 AS INTEGER), CAST(0 AS INTEGER), '41ec45287fb217a879e510ad80b7e2c2', CAST(0.0 AS DOUBLE)),
+  ('cog_733729_3725135', CAST(1 AS INTEGER), CAST(1 AS INTEGER), '3520cf0069478c61901995ab74543ac2', CAST(0.0 AS DOUBLE)),
+  ('cog_733729_3725263', CAST(1 AS INTEGER), CAST(2 AS INTEGER), '406c506fe35d853a9b328c2e71c14a40', CAST(0.96875 AS DOUBLE)),
+  ('cog_733857_3725007', CAST(2 AS INTEGER), CAST(0 AS INTEGER), '4ce380218950292d43eb7f081b42f4d7', CAST(0.617188 AS DOUBLE)),
+  ('cog_733857_3725135', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '71c2549a9081c9e82a5eb9418731d2ee', CAST(0.617188 AS DOUBLE)),
+  ('cog_733857_3725263', CAST(2 AS INTEGER), CAST(2 AS INTEGER), '84102c1f469011346fbcfa6e3caa3eba', CAST(0.988037 AS DOUBLE))
+) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
+"""
+
+
+# Pinned output of g_png_features: the pure-Python PNG codec decoding
+# inside image_features (deterministic seeded arrays, varied channel
+# counts and scanline filters; features identical to the raw-bytes path).
+SQL_PNG_FEATURES = """
+SELECT * FROM (VALUES
+  ('png_0', CAST(128.262 AS DOUBLE), CAST(169.346 AS DOUBLE), CAST(1959497254772262846 AS BIGINT)),
+  ('png_1', CAST(125.8128 AS DOUBLE), CAST(172.1949 AS DOUBLE), CAST(4126885731365728310 AS BIGINT)),
+  ('png_2', CAST(127.7402 AS DOUBLE), CAST(170.3067 AS DOUBLE), CAST(2917381324791785256 AS BIGINT)),
+  ('png_3', CAST(124.9287 AS DOUBLE), CAST(168.8478 AS DOUBLE), CAST(4267600888347318635 AS BIGINT)),
+  ('png_4', CAST(127.5049 AS DOUBLE), CAST(171.209 AS DOUBLE), CAST(596173156997801343 AS BIGINT)),
+  ('png_5', CAST(126.5052 AS DOUBLE), CAST(170.4995 AS DOUBLE), CAST(7097588644930818632 AS BIGINT)),
+  ('png_6', CAST(128.3053 AS DOUBLE), CAST(173.0166 AS DOUBLE), CAST(1743551850126880509 AS BIGINT)),
+  ('png_7', CAST(127.9688 AS DOUBLE), CAST(169.3832 AS DOUBLE), CAST(3666152394209283239 AS BIGINT))
+) AS t(image_id, mean_c0, edge_density, phash)
 """
 
 
@@ -1752,6 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": g_image_features,
         "crop_stats": g_crop_stats,
         "windowed_tiles": g_windowed_tiles,
+        "windowed_tiles_cog": g_windowed_tiles_cog,
+        "png_features": g_png_features,
         "frame_sample": g_frame_sample,
         "audio_features": g_audio_features,
         "scot_tracking": g_scot,
@@ -1804,6 +1895,8 @@ def oracle_sql() -> dict[str, str]:
         "image_features": SQL_IMAGE_FEATURES,
         "crop_stats": SQL_CROP_STATS,
         "windowed_tiles": SQL_WINDOWED_TILES,
+        "windowed_tiles_cog": SQL_WINDOWED_TILES_COG,
+        "png_features": SQL_PNG_FEATURES,
         "frame_sample": _sql_frame_sample(),
         "audio_features": SQL_AUDIO_FEATURES,
         "scot_tracking": SQL_SCOT_TRACKING,

@@ -58,22 +58,29 @@ def main():
     # round-over-round deltas aren't best-of-N-sensitive.
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
     medians: dict[str, float] = {}
+    # every individual trial wall + host load, so a future reader can
+    # adjudicate noise without re-running (VERDICT r3: the driver's
+    # noisy-window run read as a 31% regression until the judge re-ran it)
+    raw_trials: dict[str, list[float]] = {}
+    load_start = os.getloadavg()
 
     def _median(xs):
         xs = sorted(xs)
         n = len(xs)
         return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
 
-    def best_of(fn):
+    def best_of(fn, name=None):
         times = []
         for _ in range(trials):
             t0 = time.time()
             n = fn()
-            times.append(time.time() - t0)
+            times.append(round(time.time() - t0, 3))
+        if name is not None:
+            raw_trials[name] = times
         return n, min(times), _median(times)
 
     tiles = tiling.raster_tiles(ig, (90, 90))
-    n_tiles, timings["raster_tiles"], medians["raster_tiles"] = best_of(tiles.count)
+    n_tiles, timings["raster_tiles"], medians["raster_tiles"] = best_of(tiles.count, "raster_tiles")
 
     labels = synth.labels_table(spark, images, min_labels=100,
                                 max_labels=250).persist()
@@ -85,12 +92,12 @@ def main():
 
     ltiles = tiling.vector_tiles(lg, grid)
     n_join_rows, timings["vector_tile_join"], medians["vector_tile_join"] = \
-        best_of(ltiles.count)
+        best_of(ltiles.count, "vector_tile_join")
 
     mk = masks.image_masks(labels, ig,
                            channels=["footprint", "boundary", "contact"],
                            num_partitions=ncores * 4)
-    n_masks, timings["masks_fbc"], medians["masks_fbc"] = best_of(mk.count)
+    n_masks, timings["masks_fbc"], medians["masks_fbc"] = best_of(mk.count, "masks_fbc")
 
     tiles_masks_per_sec = (n_tiles + n_masks * 3) / (
         timings["raster_tiles"] + timings["masks_fbc"])
@@ -109,7 +116,8 @@ def main():
         for _ in range(trials):
             t0 = time.time()
             run_full(qs[name](spark, sf_dir))
-            times.append(time.time() - t0)
+            times.append(round(time.time() - t0, 3))
+        raw_trials[name] = times
         timings[name] = round(min(times), 3)
         medians[name] = _median(times)
         total += min(times)
@@ -154,10 +162,16 @@ def main():
                  .groupBy("cell").agg(F.sum(work).alias("s")))
         return 0
 
-    _, skew_unsalted, skew_unsalted_med = best_of(_skew_plain)
-    _, skew_salted, skew_salted_med = best_of(_skew_salted)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
-    big.unpersist()
+    # try/finally: an exception in a timed join must not leave broadcast
+    # joins disabled and 6M cached rows pinned for the rest of the session
+    try:
+        _, skew_unsalted, skew_unsalted_med = best_of(_skew_plain,
+                                                      "skew_unsalted")
+        _, skew_salted, skew_salted_med = best_of(_skew_salted,
+                                                  "skew_salted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        big.unpersist()
 
     out = {
         "metric": "tiles+masks_per_sec",
@@ -172,6 +186,14 @@ def main():
             "relational_total_sec": round(total, 3),
             "cpus": cpus,
             "trials": trials,
+            "trial_walls": raw_trials,
+            "host_load": {
+                "loadavg_1m_start": round(load_start[0], 2),
+                "loadavg_at_end": [round(v, 2) for v in os.getloadavg()],
+                "uptime_sec": round(float(
+                    open("/proc/uptime").read().split()[0]))
+                if os.path.exists("/proc/uptime") else None,
+            },
             "queries_median": {k: round(v, 3) for k, v in medians.items()},
             "skew_hot_join": {
                 "rows": n_big, "hot_key_share": 0.3,

@@ -172,6 +172,22 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 _SRP_PLANES: dict = {}  # (applicationId, seed, n_planes, dim) → broadcast
+_SRP_PLANES_MAX = 64
+
+
+def _srp_evict(current_app_id: str) -> None:
+    """Drop cached plane broadcasts from stopped SparkContexts (their
+    applicationId no longer matches) so driver-side matrices don't pin
+    for the process lifetime; cap distinct live families (ADVICE r3)."""
+    dead = [k for k in _SRP_PLANES if k[0] != current_app_id]
+    if len(_SRP_PLANES) - len(dead) >= _SRP_PLANES_MAX:
+        dead = list(_SRP_PLANES)  # cap hit: flush everything, re-broadcast
+    for k in dead:
+        bc = _SRP_PLANES.pop(k)
+        try:
+            bc.unpersist()
+        except Exception:
+            pass  # context already gone — nothing to unpersist
 
 
 def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
@@ -198,6 +214,7 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
     key = (sc.applicationId, seed, n_planes, dim_probe)
     bc = _SRP_PLANES.get(key)
     if bc is None:
+        _srp_evict(sc.applicationId)
         bc = sc.broadcast(np.ascontiguousarray(planes))
         _SRP_PLANES[key] = bc
 

@@ -394,16 +394,17 @@ def average_precision(pairs: DataFrame, conf_col: str = "conf",
     no UDF, whole-stage codegen all the way.
 
     Scale note: the confidence ranking is GLOBAL by contract (the
-    reference's single conf-desc ordering), so this window is
-    unpartitioned — one partition holds the (conf, is_tp) pairs, which is
-    fine because the input is already reduced to two tiny columns.  The
-    production per-class variant (mean_average_precision) partitions by
-    class; for a single class at extreme cardinality, pre-aggregate
-    per-conf-bucket counts first."""
-    w = Window.orderBy(F.desc(conf_col)).rowsBetween(Window.unboundedPreceding, 0)
-    cum = (pairs
-           .withColumn("cum_tp", F.sum(F.col(tp_col).cast("int")).over(w))
-           .withColumn("cum_n", F.count(F.lit(1)).over(w)))
+    reference's single conf-desc ordering), but the running sums are
+    computed as a DISTRIBUTED prefix sum (plans/prefix.py: range-bucket
+    on conf, per-bucket partitioned window, literal bucket offsets) —
+    NOT an unpartitioned Window, which would move the whole corpus to
+    one task.  The per-class production variant
+    (mean_average_precision) partitions by class natively."""
+    from ..plans.prefix import global_running_agg
+    cum = global_running_agg(
+        pairs, conf_col,
+        {"cum_tp": F.col(tp_col).cast("int"), "cum_n": F.lit(1)},
+        ascending=False)
     total_gt = F.lit(n_gt) if n_gt is not None else F.lit(None)
     cum = cum.withColumn("precision", F.col("cum_tp") / F.col("cum_n")) \
              .withColumn("recall", F.col("cum_tp") / total_gt)

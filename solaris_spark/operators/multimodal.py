@@ -27,11 +27,14 @@ from .tiling import decode_image as _decode_raw_image
 
 
 def decode_image_any(fmt: str, buf: bytes, w: int, h: int) -> np.ndarray:
-    """(C, Y, X) pixels.  raw-* formats are native; compressed formats need
-    a codec that is absent in this sandbox."""
+    """(C, Y, X) pixels.  raw-* formats and PNG are native (pure-Python
+    codec, functions/png.py); JPEG/WebP need a real codec stack."""
     if fmt.startswith("raw-"):
         return _decode_raw_image(fmt, buf, w, h)
-    if fmt in ("png", "jpeg", "jpg", "webp"):
+    if fmt == "png":
+        from ..functions.png import decode_png
+        return decode_png(bytes(buf))
+    if fmt in ("jpeg", "jpg", "webp"):
         try:
             from PIL import Image  # noqa: F401  (absent in sandbox)
         except ImportError as e:
@@ -130,10 +133,16 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                             x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
                             s = cs[y1, x1] - cs[y0, x1] - cs[y1, x0] + cs[y0, x0]
                             res[c, i, j] = s / ((y1 - y0) * (x1 - x0))
-                out.append(dict(image_id=r.image_id, bytes=res.tobytes(),
-                                w=out_w, h=out_h,
-                                fmt=r.fmt.rsplit("-", 1)[0] + f"-c{C}"
-                                if r.fmt.startswith("raw-") else r.fmt))
+                if r.fmt == "png":
+                    from ..functions.png import encode_png
+                    payload, fmt = encode_png(res), "png"
+                elif r.fmt.startswith("raw-"):
+                    payload = res.tobytes()
+                    fmt = r.fmt.rsplit("-", 1)[0] + f"-c{C}"
+                else:
+                    payload, fmt = res.tobytes(), r.fmt
+                out.append(dict(image_id=r.image_id, bytes=payload,
+                                w=out_w, h=out_h, fmt=fmt))
             yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
@@ -159,8 +168,9 @@ def crop_images(images: DataFrame, bounds, mode: str = "pixel") -> DataFrame:
       and cols left..right inclusive), clamped to the image extent.
     - mode='geo': requires a `transform` column (6-element GDAL-order
       affine [x0, dx, 0, y0, 0, dy]); bounds are georeferenced
-      [left, bottom, right, top] converted through the affine the way
-      gdal.Translate projWin does (round-to-nearest pixel offsets), and
+      [left, bottom, right, top] converted through the affine exactly the
+      way gdal.Translate projWin does — offsets floor with a +0.001 px
+      epsilon, sizes derived from the extent and rounded to nearest — and
       the output rows carry the window-shifted affine.
 
     Decode happens executor-side in Arrow batches; shuffles never carry
@@ -189,11 +199,15 @@ def crop_images(images: DataFrame, bounds, mode: str = "pixel") -> DataFrame:
                 arr = decode_image_any(r.fmt, r.bytes, int(r.w), int(r.h))
                 C, H, W = arr.shape
                 if geo:
+                    # gdal.Translate srcWin derivation: floor(+0.001 px)
+                    # offsets, extent-derived nearest-rounded sizes — NOT
+                    # four independently rounded corners, which can land
+                    # one pixel off for edge-misaligned bounds (ADVICE r3)
                     gt = [float(v) for v in r.transform]
-                    x0 = int(round((left - gt[0]) / gt[1]))
-                    y0 = int(round((top - gt[3]) / gt[5]))
-                    x1 = int(round((right - gt[0]) / gt[1]))
-                    y1 = int(round((bottom - gt[3]) / gt[5]))
+                    x0 = int(np.floor((left - gt[0]) / gt[1] + 0.001))
+                    y0 = int(np.floor((top - gt[3]) / gt[5] + 0.001))
+                    x1 = x0 + int((right - left) / gt[1] + 0.5)
+                    y1 = y0 + int((bottom - top) / gt[5] + 0.5)
                 else:
                     x0, y0 = int(left), int(top)
                     x1, y1 = int(right) + 1, int(bottom) + 1
@@ -202,7 +216,13 @@ def crop_images(images: DataFrame, bounds, mode: str = "pixel") -> DataFrame:
                 if x1c <= x0c or y1c <= y0c:
                     continue
                 win = np.ascontiguousarray(arr[:, y0c:y1c, x0c:x1c])
-                rec = dict(image_id=r.image_id, bytes=win.tobytes(),
+                if r.fmt == "png":
+                    # keep the fmt tag honest: png in → png bytes out
+                    from ..functions.png import encode_png
+                    payload = encode_png(win)
+                else:
+                    payload = win.tobytes()
+                rec = dict(image_id=r.image_id, bytes=payload,
                            w=int(x1c - x0c), h=int(y1c - y0c),
                            fmt=r.fmt)
                 if geo:

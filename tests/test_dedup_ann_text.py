@@ -214,6 +214,30 @@ class TestMultimodal:
         assert np.array_equal(got, exp)
         assert list(out["transform"]) == [108.0, 2.0, 0.0, 488.0, 0.0, -2.0]
 
+    def test_crop_geo_misaligned_matches_gdal_translate(self, spark):
+        """Bounds NOT on pixel edges: gdal.Translate floors offsets
+        (+0.001 px eps) and derives sizes from the extent — independently
+        rounding each corner can be one pixel off (ADVICE r3)."""
+        from solaris_spark.sources import synth
+        one = synth.images_table(spark, 1, include_fixture=False)
+        gt = [100.0, 2.0, 0.0, 500.0, 0.0, -2.0]
+        geo = one.withColumn(
+            "transform",
+            F.array(*[F.lit(v) for v in gt]).cast("array<double>"))
+        s = one.collect()[0]
+        out = multimodal.crop_images(
+            geo, [107.5, 468.3, 119.1, 487.9], mode="geo").collect()[0]
+        # gdal: xoff=floor(3.751)=3, yoff=floor(6.051)=6,
+        #       xsize=int(5.8+.5)=6, ysize=int(9.8+.5)=10
+        arr = multimodal.decode_image_any(
+            s["fmt"], bytes(s["bytes"]), s["w"], s["h"])
+        exp = arr[:, 6:16, 3:9]
+        assert (out["w"], out["h"]) == (6, 10)
+        got = multimodal.decode_image_any(
+            out["fmt"], bytes(out["bytes"]), out["w"], out["h"])
+        assert np.array_equal(got, exp)
+        assert list(out["transform"]) == [106.0, 2.0, 0.0, 488.0, 0.0, -2.0]
+
     def test_crop_mode_validation(self, spark):
         from solaris_spark.sources import synth
         images = synth.images_table(spark, 1, include_fixture=False)
@@ -222,8 +246,14 @@ class TestMultimodal:
                 multimodal.crop_images(images, [0, 1, 1, 0], mode=bad)
 
     def test_unknown_codec_raises(self):
-        with pytest.raises(NotImplementedError):
+        # png is now a native capability (functions/png.py): truncated
+        # bytes are a data error, not a missing codec
+        with pytest.raises(ValueError):
             multimodal.decode_image_any("png", b"\x89PNG", 4, 4)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_any("jpeg", b"\xff\xd8\xff", 4, 4)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_any("tga", b"", 4, 4)
 
     def test_frame_sampling(self, spark):
         buf = bytes(range(256)) * (4 * 4 * 20 // 256 + 1)
