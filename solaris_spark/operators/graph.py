@@ -153,6 +153,48 @@ def graph_to_geojson(nodes: DataFrame, edges: DataFrame,
     return nodes_path, edges_path
 
 
+def graph_to_geojsonl(nodes: DataFrame, edges: DataFrame,
+                      output_dir: str) -> tuple[str, str]:
+    """Distributed graph sink: newline-delimited GeoJSON features
+    (RFC 8142 GeoJSONSeq) written BY EXECUTORS under
+    ``{output_dir}/nodes`` and ``{output_dir}/edges`` — the 100 TB path.
+    ``graph_to_geojson`` remains the driver-side convenience producing a
+    single FeatureCollection document.
+
+    Edge coordinates come from joining edges to nodes on src/dst (twice)
+    instead of a driver-side node map — Catalyst broadcasts the node side
+    when it is small, shuffle-joins otherwise.  Same feature shape as the
+    reference's graph_to_geojson (vector/graph.py:453-545)."""
+    import os
+
+    nodes_path = os.path.join(output_dir, "nodes")
+    edges_path = os.path.join(output_dir, "edges")
+    nfeat = nodes.select(F.to_json(F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(F.col("node_id")).alias("properties"),
+        F.struct(F.lit("Point").alias("type"),
+                 F.array("x", "y").alias("coordinates"))
+        .alias("geometry"))).alias("value"))
+    nfeat.write.mode("overwrite").text(nodes_path)
+
+    src_xy = nodes.select(F.col("node_id").alias("src"),
+                          F.col("x").alias("_sx"), F.col("y").alias("_sy"))
+    dst_xy = nodes.select(F.col("node_id").alias("dst"),
+                          F.col("x").alias("_dx"), F.col("y").alias("_dy"))
+    e = edges.join(src_xy, "src").join(dst_xy, "dst")
+    props = [F.col("src"), F.col("dst"), F.col("weight")]
+    if "road_type" in edges.columns:
+        props.append(F.col("road_type"))
+    efeat = e.select(F.to_json(F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(*props).alias("properties"),
+        F.struct(F.lit("LineString").alias("type"),
+                 F.array(F.array("_sx", "_sy"), F.array("_dx", "_dy"))
+                 .alias("coordinates")).alias("geometry"))).alias("value"))
+    efeat.write.mode("overwrite").text(edges_path)
+    return nodes_path, edges_path
+
+
 def to_networkx(nodes: DataFrame, edges: DataFrame):
     """Materialize the (nodes, edges) DataFrames as a networkx Graph —
     driver-side convenience for interop/QA (import-gated; the distributed

@@ -60,3 +60,36 @@ class TestComponents:
         comp = graph.connected_components(nodes, edges)
         n_comp = comp.select("component").distinct().count()
         assert n_comp == 2
+
+
+class TestDistributedSink:
+    def test_geojsonl_matches_driver_sink(self, spark, tmp_path):
+        """graph_to_geojsonl (executor-written GeoJSONSeq) carries exactly
+        the same features as the driver-side FeatureCollection sink."""
+        import glob
+        import json
+
+        roads = spark.createDataFrame(
+            [(1, "LINESTRING (0 0, 1 1, 2 0)", "primary"),
+             (2, "LINESTRING (2 0, 3 1)", "secondary")],
+            "road_id long, wkt string, type string")
+        nodes, edges = graph.build_graph(roads, type_col="type")
+
+        np_, ep_ = graph.graph_to_geojson(
+            nodes, edges, str(tmp_path / "doc.geojson"))
+        doc_feats = []
+        for p in (np_, ep_):
+            doc_feats += json.load(open(p))["features"]
+
+        nd, ed = graph.graph_to_geojsonl(nodes, edges, str(tmp_path / "dist"))
+        dist_feats = []
+        for d in (nd, ed):
+            for part in glob.glob(f"{d}/part-*"):
+                with open(part) as fh:
+                    dist_feats += [json.loads(line) for line in fh
+                                   if line.strip()]
+
+        def key(f):
+            return json.dumps(f, sort_keys=True)
+
+        assert sorted(map(key, dist_feats)) == sorted(map(key, doc_feats))
