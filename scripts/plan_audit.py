@@ -126,6 +126,24 @@ def main():
         f"- executedPlan chars at dim=16: {l16}; at dim=768: {l768} "
         f"(bound: ≤1.5×) — hyperplanes are a broadcast, not literals\n")
 
+    # 8. global running sums: every window spec in the plan must carry a
+    # partition key (the distributed prefix sum, plans/prefix.py) — an
+    # unpartitioned WindowExec moves the whole input to one task
+    cum = qs["conf_cumsum"](spark, sf_dir)
+    plan = cum._jdf.queryExecution().executedPlan().toString()
+    bad_win = [ln.strip()[:120] for ln in plan.splitlines()
+               if "windowspecdefinition" in ln
+               and "__prefix_bkt" not in ln]
+    win_ok = not bad_win
+    checks.append(("conf_cumsum windows all partitioned", win_ok))
+    sections.append(
+        f"## conf_cumsum window partitioning — "
+        f"{'PASS' if win_ok else 'FAIL'}\n\n"
+        "- every windowspecdefinition carries the `__prefix_bkt` "
+        "partition key (distributed prefix sum; no single-partition "
+        "WindowExec)\n"
+        + ("".join(f"- ✗ {ln}\n" for ln in bad_win)))
+
     md = ["# BENCH/PLANS — physical-plan audit of headline operators\n",
           "Auto-generated by scripts/plan_audit.py — asserts the plan",
           "properties that matter at 100 TB: filters pushed into the scan,",
