@@ -1,7 +1,8 @@
-"""Pure-NumPy TIFF reader/writer: strip AND tiled layouts, uncompressed
-AND deflate (zlib) compression, horizontal-differencing predictor — the
-real COG file layout — plus GeoTIFF georegistration tags and byte-range
-windowed reads with a per-process parsed-IFD cache.
+"""Pure-NumPy TIFF/BigTIFF reader/writer: strip AND tiled layouts,
+uncompressed AND deflate (zlib) compression, horizontal-differencing
+predictor, multi-IFD overview pyramids — the real COG file layout — plus
+GeoTIFF georegistration tags and byte-range windowed reads with a
+per-process parsed-IFD cache.
 
 The reference's golden fixtures (e.g. ``solaris/data/sample_geotiff.tif``,
 ``rastertile_test_expected/*.tif``, mask goldens in ``test_mask.py``) are
@@ -10,7 +11,10 @@ tiled+deflate path matches the layout the reference's (disabled) COG code
 targeted (``solaris/utils/tile.py:34-158`` — rasterio/rio-tiler based;
 this implementation is an original byte-range parser, no relation beyond
 the idea): tile grids via TIFF tags 322/323/324/325, Deflate compression
-(tag 259 == 8, also legacy 32946), optional Predictor 2 (tag 317).
+(tag 259 == 8, also legacy 32946), optional Predictor 2 (tag 317),
+reduced-resolution overview IFDs chained after the full-res IFD
+(NewSubfileType 254 == 1), and BigTIFF (version 43, 8-byte offsets) for
+files past the classic format's 4 GB ceiling — routine at 100 TB scale.
 
 Georegistration: ModelPixelScale (33550) + ModelTiepoint (33922) parse
 into an affine ``(a, b, c, d, e, f)`` with ``world_x = a*col + b*row + c``;
@@ -32,8 +36,10 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q", 18: "Q"}
 _DTYPES = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4", (2, 8): "i1",
            (2, 16): "i2", (2, 32): "i4", (3, 32): "f4", (3, 64): "f8"}
 
@@ -52,10 +58,11 @@ class TiffImage:
 @dataclass
 class TiffMeta:
     """Parsed IFD — everything needed to decode any block without
-    re-touching the header.  Cached per (path, mtime, size) so windowed
-    readers fetch the header/IFD ONCE per file per process (on object
-    stores each IFD fetch is a round-trip; at 10^5 tiles/file the
-    re-fetch tax dominates — VERDICT r3 'What's wrong' #4)."""
+    re-touching the header.  One per IFD; a COG carries a chain (full-res
+    first, then reduced-resolution overviews).  The chain is cached per
+    (path, mtime, size) so windowed readers fetch header/IFDs ONCE per
+    file per process (on object stores each IFD fetch is a round-trip;
+    at 10^5 tiles/file the re-fetch tax dominates)."""
 
     bo: str
     w: int
@@ -73,6 +80,7 @@ class TiffMeta:
     transform: tuple | None
     epsg: int | None
     nodata: float | None
+    subfile_type: int = 0   # 1 = reduced-resolution overview
 
 
 class _BytesReader:
@@ -109,17 +117,45 @@ class _RangeReader:
         self._f.close()
 
 
-def _parse_meta(rd) -> TiffMeta:
-    head = rd.read(0, 8)
+def _read_header(rd) -> tuple[str, bool, int]:
+    """→ (byte order, bigtiff?, first IFD offset)."""
+    head = rd.read(0, 16)
     bo = "<" if head[:2] == b"II" else ">"
-    ifd_off = struct.unpack(bo + "I", head[4:8])[0]
-    n = struct.unpack(bo + "H", rd.read(ifd_off, 2))[0]
-    blob = rd.read(ifd_off + 2, 12 * n)
+    version = struct.unpack(bo + "H", head[2:4])[0]
+    if version == 42:
+        return bo, False, struct.unpack(bo + "I", head[4:8])[0]
+    if version == 43:  # BigTIFF: offsets are 8 bytes
+        osize, zero = struct.unpack(bo + "HH", head[4:8])
+        if osize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        return bo, True, struct.unpack(bo + "Q", head[8:16])[0]
+    raise ValueError(f"not a TIFF (version={version})")
+
+
+def _parse_one_ifd(rd, bo: str, big: bool, off: int):
+    """→ (tags {tag: (type, count, inline bytes)}, next IFD offset)."""
+    if big:
+        n = struct.unpack(bo + "Q", rd.read(off, 8))[0]
+        blob = rd.read(off + 8, 20 * n + 8)
+        entry, cntfmt, inline = 20, "Q", 12
+    else:
+        n = struct.unpack(bo + "H", rd.read(off, 2))[0]
+        blob = rd.read(off + 2, 12 * n + 4)
+        entry, cntfmt, inline = 12, "I", 8
     tags = {}
     for i in range(n):
-        e = blob[12 * i: 12 * (i + 1)]
-        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
-        tags[tag] = (typ, cnt, e[8:12])
+        e = blob[entry * i: entry * (i + 1)]
+        tag, typ = struct.unpack(bo + "HH", e[:4])
+        cnt = struct.unpack(bo + cntfmt, e[4:inline])[0]
+        tags[tag] = (typ, cnt, e[inline:entry])
+    nxt = struct.unpack(bo + ("Q" if big else "I"),
+                        blob[entry * n: entry * n + (8 if big else 4)])[0]
+    return tags, nxt
+
+
+def _make_getter(rd, bo: str, big: bool, tags: dict):
+    inline_cap = 8 if big else 4
+    off_fmt = "Q" if big else "I"
 
     def get(tag, default=None):
         if tag not in tags:
@@ -127,97 +163,115 @@ def _parse_meta(rd) -> TiffMeta:
         typ, cnt, raw = tags[tag]
         size = _TYPE_SIZE[typ]
         if typ == 5:  # RATIONAL
-            off = struct.unpack(bo + "I", raw)[0]
+            off = struct.unpack(bo + off_fmt, raw)[0]
             vals = struct.unpack(bo + "I" * (2 * cnt), rd.read(off, 8 * cnt))
             return tuple(vals[2 * i] / vals[2 * i + 1] for i in range(cnt))
         fmt = _TYPE_FMT.get(typ)
         if fmt is None:  # ASCII / UNDEFINED → raw bytes
-            if size * cnt <= 4:
+            if size * cnt <= inline_cap:
                 return raw[: size * cnt]
-            off = struct.unpack(bo + "I", raw)[0]
+            off = struct.unpack(bo + off_fmt, raw)[0]
             return rd.read(off, size * cnt)
-        if size * cnt <= 4:
+        if size * cnt <= inline_cap:
             return struct.unpack(bo + fmt * cnt, raw[: size * cnt])
-        off = struct.unpack(bo + "I", raw)[0]
+        off = struct.unpack(bo + off_fmt, raw)[0]
         return struct.unpack(bo + fmt * cnt, rd.read(off, size * cnt))
 
-    w = get(256)[0]
-    h = get(257)[0]
-    comp = get(259, (1,))[0]
-    if comp not in (1, 8, 32946):
-        raise NotImplementedError(
-            f"unsupported TIFF compression={comp} (supported: 1=none, "
-            "8/32946=deflate)")
-    spp = get(277, (1,))[0]
-    planar = get(284, (1,))[0]
-    bps = get(258, (1,) * spp)
-    sampfmt = get(339, (1,) * spp)
-    predictor = get(317, (1,))[0]
-    if predictor not in (1, 2):
-        raise NotImplementedError(f"unsupported TIFF predictor={predictor}")
-    dtype = np.dtype(bo + _DTYPES[(sampfmt[0], bps[0])])
-
-    if 322 in tags:  # tiled layout
-        tile_w, tile_h = get(322)[0], get(323)[0]
-        offsets, counts = get(324), get(325)
-        rows_per_strip = None
-    else:
-        tile_w = tile_h = None
-        offsets, counts = get(273), get(279)
-        rows_per_strip = get(278, (h,))[0]
-
-    transform = None
-    scale = get(33550)
-    tiepoint = get(33922)
-    if scale is not None and tiepoint is not None:
-        sx, sy = scale[0], scale[1]
-        i, j, _, x, y, _ = tiepoint[:6]
-        # world = origin + pixel * scale; y axis points down (north-up)
-        transform = (sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
-
-    epsg = geo_code = None
-    geokeys = get(34735)
-    if geokeys:
-        # GeoKeyDirectory: groups of 4 shorts.  Scan ALL keys and prefer
-        # 3072 (ProjectedCSTypeGeoKey) over 2048 (GeographicTypeGeoKey):
-        # directories are sorted ascending, so break-on-first would report
-        # the geographic code for projected rasters carrying both.
-        for k in range(4, len(geokeys), 4):
-            key_id, loc, _cnt, val = geokeys[k: k + 4]
-            if loc != 0:
-                continue
-            if key_id == 3072:
-                epsg = int(val)
-            elif key_id == 2048 and geo_code is None:
-                geo_code = int(val)
-        if epsg is None:
-            epsg = geo_code
-
-    nodata = None
-    nd = get(42113)
-    if nd is not None:
-        try:
-            nodata = float(bytes(nd).rstrip(b"\x00").decode())
-        except Exception:
-            nodata = None
-
-    return TiffMeta(bo=bo, w=w, h=h, comp=comp, spp=spp, planar=planar,
-                    dtype=dtype, predictor=predictor,
-                    offsets=tuple(offsets), counts=tuple(counts),
-                    rows_per_strip=rows_per_strip, tile_w=tile_w,
-                    tile_h=tile_h, transform=transform, epsg=epsg,
-                    nodata=nodata)
+    return get
 
 
-# per-process parsed-IFD cache; key = (abspath, mtime_ns, size) so an
-# overwritten file re-parses.  Bounded; stale versions of a path evicted
-# on refresh.  Thread-safe: Spark local mode runs many task threads.
-_META_CACHE: dict[tuple, TiffMeta] = {}
+def _parse_meta(rd) -> list[TiffMeta]:
+    """Parse the FULL IFD chain (level 0 = full resolution, then
+    overviews in file order)."""
+    bo, big, off = _read_header(rd)
+    levels: list[TiffMeta] = []
+    while off:
+        tags, off = _parse_one_ifd(rd, bo, big, off)
+        get = _make_getter(rd, bo, big, tags)
+
+        w = get(256)[0]
+        h = get(257)[0]
+        comp = get(259, (1,))[0]
+        if comp not in (1, 8, 32946):
+            raise NotImplementedError(
+                f"unsupported TIFF compression={comp} (supported: 1=none, "
+                "8/32946=deflate)")
+        spp = get(277, (1,))[0]
+        planar = get(284, (1,))[0]
+        bps = get(258, (1,) * spp)
+        sampfmt = get(339, (1,) * spp)
+        predictor = get(317, (1,))[0]
+        if predictor not in (1, 2):
+            raise NotImplementedError(
+                f"unsupported TIFF predictor={predictor}")
+        dtype = np.dtype(bo + _DTYPES[(sampfmt[0], bps[0])])
+
+        if 322 in tags:  # tiled layout
+            tile_w, tile_h = get(322)[0], get(323)[0]
+            offsets, counts = get(324), get(325)
+            rows_per_strip = None
+        else:
+            tile_w = tile_h = None
+            offsets, counts = get(273), get(279)
+            rows_per_strip = get(278, (h,))[0]
+
+        transform = None
+        scale = get(33550)
+        tiepoint = get(33922)
+        if scale is not None and tiepoint is not None:
+            sx, sy = scale[0], scale[1]
+            i, j, _, x, y, _ = tiepoint[:6]
+            # world = origin + pixel * scale; y axis points down (north-up)
+            transform = (sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
+
+        epsg = geo_code = None
+        geokeys = get(34735)
+        if geokeys:
+            # GeoKeyDirectory: groups of 4 shorts.  Scan ALL keys and
+            # prefer 3072 (ProjectedCSTypeGeoKey) over 2048
+            # (GeographicTypeGeoKey): directories are sorted ascending, so
+            # break-on-first would report the geographic code for
+            # projected rasters carrying both.
+            for k in range(4, len(geokeys), 4):
+                key_id, loc, _cnt, val = geokeys[k: k + 4]
+                if loc != 0:
+                    continue
+                if key_id == 3072:
+                    epsg = int(val)
+                elif key_id == 2048 and geo_code is None:
+                    geo_code = int(val)
+            if epsg is None:
+                epsg = geo_code
+
+        nodata = None
+        nd = get(42113)
+        if nd is not None:
+            try:
+                nodata = float(bytes(nd).rstrip(b"\x00").decode())
+            except Exception:
+                nodata = None
+
+        levels.append(TiffMeta(
+            bo=bo, w=w, h=h, comp=comp, spp=spp, planar=planar,
+            dtype=dtype, predictor=predictor, offsets=tuple(offsets),
+            counts=tuple(counts), rows_per_strip=rows_per_strip,
+            tile_w=tile_w, tile_h=tile_h, transform=transform, epsg=epsg,
+            nodata=nodata, subfile_type=get(254, (0,))[0]))
+    if not levels:
+        raise ValueError("TIFF has no IFD")
+    return levels
+
+
+# per-process parsed-IFD-chain cache; key = (abspath, mtime_ns, size) so
+# an overwritten file re-parses.  Bounded; stale versions of a path
+# evicted on refresh.  Thread-safe: Spark local mode runs many task
+# threads per worker process.
+_META_CACHE: dict[tuple, list[TiffMeta]] = {}
 _META_LOCK = threading.Lock()
 _META_CACHE_MAX = 4096
 
 
-def _cached_meta(path: str, rd) -> tuple[TiffMeta, bool]:
+def _cached_meta(path: str, rd) -> tuple[list[TiffMeta], bool]:
     st = os.stat(path)
     key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     with _META_LOCK:
@@ -317,15 +371,34 @@ def _read_region(rd, meta: TiffMeta, r0: int, c0: int, r1: int,
     return np.ascontiguousarray(np.moveaxis(out, -1, 0))
 
 
-def read_tiff(path_or_bytes) -> TiffImage:
-    """Read a TIFF (strip or tiled; none/deflate; predictor 1/2) into a
-    (C, Y, X) numpy array with GeoTIFF transform/EPSG/nodata."""
+def _level_transform(levels: list[TiffMeta], level: int):
+    """Affine for an overview level: stored if present, else derived from
+    level 0 by the x/y decimation factors (GDAL stores georef only on the
+    full-res IFD)."""
+    m = levels[level]
+    if m.transform is not None:
+        return m.transform
+    t0 = levels[0].transform
+    if t0 is None:
+        return None
+    fx = levels[0].w / m.w
+    fy = levels[0].h / m.h
+    a, b, c, d, e, f = t0
+    return (a * fx, b, c, d, e * fy, f)
+
+
+def read_tiff(path_or_bytes, level: int = 0) -> TiffImage:
+    """Read a TIFF/BigTIFF (strip or tiled; none/deflate; predictor 1/2)
+    into a (C, Y, X) numpy array with GeoTIFF transform/EPSG/nodata.
+    ``level`` selects an overview IFD (0 = full resolution);
+    ``tags['n_levels']`` reports the pyramid depth."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         rd = _BytesReader(bytes(path_or_bytes))
     else:
         with open(path_or_bytes, "rb") as f:
             rd = _BytesReader(f.read())
-    meta = _parse_meta(rd)
+    levels = _parse_meta(rd)
+    meta = levels[level]
     if meta.planar != 1 and meta.spp > 1 and meta.rows_per_strip is not None:
         # plane-major strips (reference Landsat fixtures): decode each
         # strip, concatenate in file order, reshape (C, Y, X)
@@ -341,24 +414,33 @@ def read_tiff(path_or_bytes) -> TiffImage:
         arr = np.ascontiguousarray(arr)
     else:
         arr = _read_region(rd, meta, 0, 0, meta.h, meta.w)
-    return TiffImage(array=arr, transform=meta.transform, epsg=meta.epsg,
-                     nodata=meta.nodata)
+    return TiffImage(array=arr, transform=_level_transform(levels, level),
+                     epsg=meta.epsg or levels[0].epsg,
+                     nodata=meta.nodata if meta.nodata is not None
+                     else levels[0].nodata,
+                     tags={"n_levels": len(levels)})
 
 
 def read_tiff_window(path: str, row_off: int, col_off: int,
-                     height: int, width: int) -> TiffImage:
+                     height: int, width: int, level: int = 0) -> TiffImage:
     """Windowed read: fetches ONLY the strips/tiles overlapping rows
     [row_off, row_off+height) × cols [col_off, col_off+width) — never the
     full payload.  For tiled (COG-layout) files the fetch is proportional
-    to the window in BOTH axes.  The parsed IFD is cached per
-    (path, mtime, size), so repeat windows on the same file issue zero
-    header/IFD reads (``tags['meta_cached']``).  Returns (C, h, w)
-    clamped to the image extent, affine shifted to the window origin;
-    ``tags['bytes_read']`` / ``tags['requests']`` report the I/O actually
-    performed by THIS call (COG/Range-GET cost model)."""
+    to the window in BOTH axes.  ``level`` selects an overview IFD
+    (0 = full resolution; window coordinates are in THAT level's pixel
+    grid).  The parsed IFD chain is cached per (path, mtime, size), so
+    repeat windows on the same file issue zero header/IFD reads
+    (``tags['meta_cached']``).  Returns (C, h, w) clamped to the level
+    extent, affine shifted to the window origin; ``tags['bytes_read']`` /
+    ``tags['requests']`` report the I/O actually performed by THIS call
+    (COG/Range-GET cost model)."""
     rd = _RangeReader(path)
     try:
-        meta, cached = _cached_meta(path, rd)
+        levels, cached = _cached_meta(path, rd)
+        if not 0 <= level < len(levels):
+            raise ValueError(
+                f"level {level} out of range (file has {len(levels)})")
+        meta = levels[level]
         r0 = max(0, int(row_off))
         c0 = max(0, int(col_off))
         r1 = min(meta.h, int(row_off) + int(height))
@@ -367,48 +449,31 @@ def read_tiff_window(path: str, row_off: int, col_off: int,
             raise ValueError("window does not intersect the image")
         win = _read_region(rd, meta, r0, c0, r1, c1)
         transform = None
-        if meta.transform is not None:
-            a, _b, c, _d, e, f = meta.transform
+        lt = _level_transform(levels, level)
+        if lt is not None:
+            a, _b, c, _d, e, f = lt
             transform = (a, 0.0, c + c0 * a, 0.0, e, f + r0 * e)
-        return TiffImage(array=win, transform=transform, epsg=meta.epsg,
+        return TiffImage(array=win, transform=transform,
+                         epsg=meta.epsg or levels[0].epsg,
                          tags={"bytes_read": rd.bytes_read,
                                "requests": rd.requests,
                                "meta_cached": cached,
+                               "n_levels": len(levels),
                                "full_size": (meta.h, meta.w),
                                "window": (r0, c0, r1, c1)})
     finally:
         rd.close()
 
 
-def write_tiff(path: str, array: np.ndarray, *,
-               transform: tuple | None = None, epsg: int | None = None,
-               nodata: float | None = None,
-               tile: tuple[int, int] | None = None,
-               compress: str | None = None, predictor: int = 1) -> None:
-    """Write a (C, Y, X) or (Y, X) array as a little-endian chunky TIFF.
-
-    Default is a single uncompressed strip (debug/export parity with the
-    reference fixtures).  ``tile=(th, tw)`` writes a tiled layout (tags
-    322-325, dims must be multiples of 16 per the TIFF spec, edge tiles
-    zero-padded); ``compress='deflate'`` zlib-compresses each block (tag
-    259=8); ``predictor=2`` applies horizontal differencing (tag 317,
-    integer dtypes only) — together, the standard COG interior layout.
-    ``transform`` (north-up affine (a,b,c,d,e,f)), ``epsg`` and
-    ``nodata`` emit the GeoTIFF tags read_tiff parses back."""
-    if array.ndim == 2:
-        array = array[None]
-    arr = np.asarray(array)
+def _build_level(arr: np.ndarray, *, tile, comp_code: int, predictor: int,
+                 transform, epsg, nodata, subfile_type: int, big: bool):
+    """→ (entries [(tag, type, values|bytes)], blocks [bytes]).  Offsets
+    for tags 273/324 are placeholders (index tuples) resolved by the
+    serializer once the global layout is known."""
     c, h, w = arr.shape
-    if arr.dtype.byteorder == ">":
-        arr = arr.astype(arr.dtype.newbyteorder("<"))
     dt = arr.dtype
     sf = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
-    comp_code = {None: 1, "none": 1, "deflate": 8, "zlib": 8}[compress]
-    if predictor not in (1, 2):
-        raise ValueError(f"unsupported predictor={predictor}")
-    if predictor == 2 and dt.kind == "f":
-        raise ValueError("predictor=2 is integer-only (3 is the float one)")
     chunky = np.moveaxis(arr, 0, -1)  # (h, w, c)
 
     def encode(block: np.ndarray) -> bytes:
@@ -435,19 +500,14 @@ def write_tiff(path: str, array: np.ndarray, *,
     else:
         blocks.append(encode(chunky))
 
-    # layout: header(8) | pixel blocks | IFD | out-of-line values
-    offs, pos = [], 8
-    for b in blocks:
-        offs.append(pos)
-        pos += len(b)
-    pad = pos & 1
-    ifd_off = pos + pad
-
+    off_typ = 16 if big else 4  # LONG8 in BigTIFF
     entries: list[tuple[int, int, object]] = []
 
     def E(tag, typ, vals):
         entries.append((tag, typ, vals))
 
+    if subfile_type:
+        E(254, 4, (subfile_type,))
     E(256, 3 if w < 65536 else 4, (w,))
     E(257, 3 if h < 65536 else 4, (h,))
     E(258, 3, (bits,) * c)
@@ -461,12 +521,12 @@ def write_tiff(path: str, array: np.ndarray, *,
     if tile is not None:
         E(322, 3, (tw,))
         E(323, 3, (th,))
-        E(324, 4, tuple(offs))
-        E(325, 4, tuple(len(b) for b in blocks))
+        E(324, off_typ, ("BLOCK_OFFSETS",))
+        E(325, off_typ, tuple(len(b) for b in blocks))
     else:
-        E(273, 4, tuple(offs))
+        E(273, off_typ, ("BLOCK_OFFSETS",))
         E(278, 4, (h,))
-        E(279, 4, tuple(len(b) for b in blocks))
+        E(279, off_typ, tuple(len(b) for b in blocks))
     if transform is not None:
         a, b_, cx, d_, e, f = (float(v) for v in transform)
         if b_ != 0.0 or d_ != 0.0:
@@ -491,37 +551,143 @@ def write_tiff(path: str, array: np.ndarray, *,
         E(34735, 3, tuple(gk))
     if nodata is not None:
         E(42113, 2, f"{nodata:g}".encode() + b"\x00")
-
     entries.sort(key=lambda t: t[0])
-    n = len(entries)
-    ool_base = ifd_off + 2 + 12 * n + 4
-    ool = bytearray()
-    body = bytearray()
-    for tag, typ, vals in entries:
-        if isinstance(vals, (bytes, bytearray)):
-            raw = bytes(vals)
-            cnt = len(raw)
-        else:
-            cnt = len(vals)
-            raw = struct.pack("<" + _TYPE_FMT[typ] * cnt, *vals)
-        if len(raw) <= 4:
-            inline = raw + b"\x00" * (4 - len(raw))
-        else:
-            off = ool_base + len(ool)
-            if off & 1:
-                ool += b"\x00"
-                off += 1
-            ool += raw
-            inline = struct.pack("<I", off)
-        body += struct.pack("<HHI", tag, typ, cnt) + inline
+    return entries, blocks
 
-    with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, ifd_off))
+
+def write_tiff(path: str, array: np.ndarray, *,
+               transform: tuple | None = None, epsg: int | None = None,
+               nodata: float | None = None,
+               tile: tuple[int, int] | None = None,
+               compress: str | None = None, predictor: int = 1,
+               overviews: list[int] | None = None,
+               bigtiff: bool = False) -> None:
+    """Write a (C, Y, X) or (Y, X) array as a little-endian chunky
+    TIFF/BigTIFF.
+
+    Default is a single uncompressed strip (debug/export parity with the
+    reference fixtures).  ``tile=(th, tw)`` writes a tiled layout (tags
+    322-325, dims must be multiples of 16 per the TIFF spec, edge tiles
+    zero-padded); ``compress='deflate'`` zlib-compresses each block (tag
+    259=8); ``predictor=2`` applies horizontal differencing (tag 317,
+    integer dtypes only); ``overviews=[2, 4, ...]`` appends
+    reduced-resolution IFDs (nearest-neighbor decimation, NewSubfileType
+    =1, georef derived from level 0 by readers) — together, the standard
+    COG layout.  ``bigtiff=True`` writes format version 43 with 8-byte
+    offsets — REQUIRED for files past 4 GB, which 100 TB-scale imagery
+    hits routinely.  ``transform`` (north-up affine (a,b,c,d,e,f)),
+    ``epsg`` and ``nodata`` emit the GeoTIFF tags read_tiff parses back.
+    """
+    if array.ndim == 2:
+        array = array[None]
+    arr = np.asarray(array)
+    if arr.dtype.byteorder == ">":
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+    comp_code = {None: 1, "none": 1, "deflate": 8, "zlib": 8}[compress]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor={predictor}")
+    if predictor == 2 and arr.dtype.kind == "f":
+        raise ValueError("predictor=2 is integer-only (3 is the float one)")
+
+    pyramid = [arr]
+    for fct in overviews or []:
+        pyramid.append(np.ascontiguousarray(arr[:, ::fct, ::fct]))
+
+    built = []
+    for li, a in enumerate(pyramid):
+        built.append(_build_level(
+            a, tile=tile, comp_code=comp_code, predictor=predictor,
+            transform=transform if li == 0 else None,
+            epsg=epsg if li == 0 else None,
+            nodata=nodata if li == 0 else None,
+            subfile_type=0 if li == 0 else 1, big=bigtiff))
+
+    # ---- layout: header | all pixel blocks | IFD0+OOL0 | IFD1+OOL1 | ...
+    bo = "<"
+    hdr_len = 16 if bigtiff else 8
+    inline_cap = 8 if bigtiff else 4
+    entry_sz = 20 if bigtiff else 12
+    cnt_sz = 8 if bigtiff else 2
+    next_sz = 8 if bigtiff else 4
+    off_fmt = "Q" if bigtiff else "I"
+    cnt_fmt = "Q" if bigtiff else "H"
+
+    pos = hdr_len
+    level_offs: list[list[int]] = []
+    for _entries, blocks in built:
+        offs = []
         for b in blocks:
-            f.write(b)
-        if pad:
-            f.write(b"\x00")
-        f.write(struct.pack("<H", n))
-        f.write(bytes(body))
-        f.write(struct.pack("<I", 0))
-        f.write(bytes(ool))
+            offs.append(pos)
+            pos += len(b)
+        level_offs.append(offs)
+    if pos & 1:
+        pos += 1
+    data_end = pos
+
+    def entry_raw(typ, vals, block_offs):
+        if isinstance(vals, (bytes, bytearray)):
+            return bytes(vals), len(vals)
+        if vals == ("BLOCK_OFFSETS",):
+            vals = tuple(block_offs)
+        return struct.pack(bo + _TYPE_FMT[typ] * len(vals), *vals), len(vals)
+
+    # serialize IFDs sequentially; each needs its own start offset and the
+    # next IFD's, so compute out-of-line layouts (relative to each IFD's
+    # own OOL area) first, then absolute starts
+    for li, (entries, _blocks) in enumerate(built):
+        ool = bytearray()
+        rel: list[tuple[bytes, int | None]] = []
+        for tag, typ, vals in entries:
+            raw, _cnt = entry_raw(typ, vals, level_offs[li])
+            if len(raw) <= inline_cap:
+                rel.append((raw, None))
+            else:
+                if len(ool) & 1:
+                    ool += b"\x00"
+                rel.append((raw, len(ool)))
+                ool += raw
+        built[li] = (entries, _blocks, rel, bytes(ool))  # type: ignore
+
+    ifd_starts = []
+    cur = data_end
+    for entries, _blocks, rel, ool in built:  # type: ignore
+        ifd_starts.append(cur)
+        cur += cnt_sz + entry_sz * len(entries) + next_sz + len(ool)
+        if cur & 1:
+            cur += 1
+
+    out = bytearray()
+    if bigtiff:
+        out += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_starts[0])
+    else:
+        out += b"II" + struct.pack("<HI", 42, ifd_starts[0])
+    for _entries, blocks, _rel, _ool in built:  # type: ignore
+        for b in blocks:
+            out += b
+    while len(out) < data_end:
+        out += b"\x00"
+    for li, (entries, _blocks, rel, ool) in enumerate(built):  # type: ignore
+        start = ifd_starts[li]
+        ool_base = start + cnt_sz + entry_sz * len(entries) + next_sz
+        body = bytearray()
+        body += struct.pack(bo + cnt_fmt, len(entries))
+        for (tag, typ, vals), (raw, rel_off) in zip(entries, rel):
+            cnt = (len(raw) if isinstance(vals, (bytes, bytearray))
+                   else (len(vals) if vals != ("BLOCK_OFFSETS",)
+                         else len(level_offs[li])))
+            body += struct.pack(bo + "HH", tag, typ)
+            body += struct.pack(bo + off_fmt, cnt)[:cnt_sz] \
+                if bigtiff else struct.pack(bo + "I", cnt)
+            if rel_off is None:
+                body += raw + b"\x00" * (inline_cap - len(raw))
+            else:
+                body += struct.pack(bo + off_fmt, ool_base + rel_off)
+        nxt = ifd_starts[li + 1] if li + 1 < len(built) else 0
+        body += struct.pack(bo + off_fmt, nxt)
+        body += ool
+        while len(body) % 2:
+            body += b"\x00"
+        assert len(out) == start, (len(out), start)
+        out += body
+    with open(path, "wb") as f:
+        f.write(bytes(out))

@@ -189,7 +189,8 @@ def raster_tiles(images_geo: DataFrame, tile_size: tuple[int, int],
 
 def raster_tiles_windowed(manifest_geo: DataFrame, tile_size: tuple[int, int],
                           nodata_threshold: float | None = None,
-                          partitions: int | None = None) -> DataFrame:
+                          partitions: int | None = None,
+                          level: int = 0) -> DataFrame:
     """File-backed tiling via BYTE-RANGE windowed reads — the COG access
     path (reference designed but never shipped it: solaris/utils/tile.py:
     34-158).  Input is a MANIFEST (image_id, path, w, h, a..f, nodata) —
@@ -213,6 +214,11 @@ def raster_tiles_windowed(manifest_geo: DataFrame, tile_size: tuple[int, int],
     Requires north-up manifests: rows with a rotated affine (b or d
     nonzero) raise, because the window inversion below is diagonal-only —
     raster_tiles (full-decode path) handles those via cut_window.
+
+    ``level`` selects a COG overview IFD (0 = full resolution) — the
+    zoomed-out tile-serving path.  The manifest's (w, h, a, e, c, f) must
+    describe THAT level's grid (dims decimated, pixel size × factor);
+    window coordinates are computed in the level's pixel space.
 
     Pixel output is byte-identical to raster_tiles on the same pixels
     (boundless edge tiles nodata-filled the same way)."""
@@ -245,7 +251,8 @@ def raster_tiles_windowed(manifest_geo: DataFrame, tile_size: tuple[int, int],
                 row0 = int(round((row.ymax - row.f) / e))
                 nod = row.nodata if row.nodata is not None \
                     and not pd.isna(row.nodata) else 0
-                win = read_tiff_window(row.path, row0, col0, ty_px, tx_px)
+                win = read_tiff_window(row.path, row0, col0, ty_px, tx_px,
+                                       level=level)
                 C = win.array.shape[0]
                 tile = np.full((C, ty_px, tx_px), nod,
                                dtype=win.array.dtype)

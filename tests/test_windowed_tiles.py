@@ -125,6 +125,76 @@ class TestTiledDeflate:
                        transform=(0.5, 0.1, 0.0, 0.0, -0.5, 0.0))
 
 
+class TestBigTiffAndOverviews:
+    """BigTIFF (version 43, 8-byte offsets — required past 4 GB, routine
+    at 100 TB scale) and multi-IFD overview pyramids (the other half of
+    the real COG spec)."""
+
+    def _img(self, shape=(3, 512, 640)):
+        return np.random.default_rng(13).integers(
+            0, 255, size=shape).astype(np.uint8)
+
+    @pytest.mark.parametrize("kw", [
+        dict(),
+        dict(compress="deflate"),
+        dict(tile=(64, 64), compress="deflate", predictor=2),
+    ])
+    def test_bigtiff_roundtrip(self, tmp_path, kw):
+        arr = self._img((3, 100, 90))
+        p = str(tmp_path / "big.tif")
+        write_tiff(p, arr, bigtiff=True, **kw)
+        with open(p, "rb") as f:
+            assert f.read(4) == b"II\x2b\x00"  # version 43
+        assert np.array_equal(read_tiff(p).array, arr)
+        win = read_tiff_window(p, 10, 20, 50, 60)
+        assert np.array_equal(win.array, arr[:, 10:60, 20:80])
+
+    def test_overview_pyramid(self, tmp_path):
+        arr = self._img()
+        t = (0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0)
+        p = str(tmp_path / "ov.tif")
+        write_tiff(p, arr, tile=(128, 128), compress="deflate",
+                   predictor=2, overviews=[2, 4], transform=t, epsg=32616,
+                   nodata=0.0)
+        full = read_tiff(p)
+        assert full.tags["n_levels"] == 3
+        assert np.array_equal(full.array, arr) and full.transform == t
+        for lvl, fct in ((1, 2), (2, 4)):
+            ov = read_tiff(p, level=lvl)
+            assert np.array_equal(ov.array, arr[:, ::fct, ::fct])
+            # georef derived from level 0: pixel size scales by the factor
+            assert ov.transform == (0.5 * fct, 0.0, 733601.0,
+                                    0.0, -0.5 * fct, 3725139.0)
+            assert ov.epsg == 32616
+
+    def test_windowed_overview_read(self, tmp_path):
+        """Window coordinates are in the LEVEL's pixel grid and the
+        affine shifts accordingly — zoomed-out tile serving, the COG
+        use-case the pyramid exists for."""
+        arr = self._img()
+        p = str(tmp_path / "ovw.tif")
+        write_tiff(p, arr, tile=(128, 128), compress="deflate",
+                   overviews=[2],
+                   transform=(0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0))
+        w = read_tiff_window(p, 32, 32, 64, 64, level=1)
+        assert np.array_equal(w.array, arr[:, ::2, ::2][:, 32:96, 32:96])
+        assert w.transform == (1.0, 0.0, 733633.0, 0.0, -1.0, 3725107.0)
+        # overview I/O is small: one 128² tile of the decimated level
+        full = os.path.getsize(p)
+        assert w.tags["bytes_read"] < full / 10
+        with pytest.raises(ValueError, match="level"):
+            read_tiff_window(p, 0, 0, 8, 8, level=5)
+
+    def test_bigtiff_pyramid(self, tmp_path):
+        arr = self._img((2, 256, 320))
+        p = str(tmp_path / "bp.tif")
+        write_tiff(p, arr, tile=(64, 64), compress="deflate",
+                   overviews=[2], bigtiff=True, epsg=4326)
+        assert read_tiff(p).tags["n_levels"] == 2
+        assert np.array_equal(read_tiff(p, level=1).array, arr[:, ::2, ::2])
+        assert read_tiff(p).epsg == 4326
+
+
 class TestIfdCache:
     def test_second_window_skips_header(self, tmp_path):
         """One header/IFD fetch per (process, file): the first window
@@ -237,6 +307,42 @@ class TestWindowedTiling:
                tiling.raster_tiles_windowed(strip, (90, 90)).collect()}
         got = {r["tile_id"]: r for r in
                tiling.raster_tiles_windowed(cog, (90, 90)).collect()}
+        assert set(got) == set(ref) and len(ref) > 0
+        for tid, r in got.items():
+            assert bytes(r["pixels"]) == bytes(ref[tid]["pixels"]), tid
+
+    def test_overview_level_tiling(self, spark, tmp_path):
+        """Tiling an overview level equals tiling the decimated pixels:
+        the zoom-out serving path reads only the small overview IFD."""
+        import numpy as np
+
+        from solaris_spark.operators import tiling
+
+        arr = np.random.default_rng(31).integers(
+            0, 255, size=(3, 400, 360), dtype=np.uint8)
+        p = str(tmp_path / "pyr.tif")
+        write_tiff(p, arr, tile=(64, 64), compress="deflate",
+                   overviews=[2])
+        dec = arr[:, ::2, ::2]  # 200×180, pixel size doubles
+        g = dict(a=1.0, b=0.0, c=733601.0, d=0.0, e=-1.0, f=3725139.0)
+        files = spark.createDataFrame(
+            [("pyr", p, dec.shape[2], dec.shape[1], g["a"], g["b"], g["c"],
+              g["d"], g["e"], g["f"], None)],
+            "image_id string, path string, w int, h int, a double, "
+            "b double, c double, d double, e double, f double, "
+            "nodata double")
+        blobs = spark.createDataFrame(
+            [("pyr", bytearray(dec.tobytes()), dec.shape[2], dec.shape[1],
+              "raw-u8-c3", g["a"], g["b"], g["c"], g["d"], g["e"], g["f"],
+              None)],
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "a double, b double, c double, d double, e double, f double, "
+            "nodata double")
+        ref = {r["tile_id"]: r for r in
+               tiling.raster_tiles(blobs, (90, 90)).collect()}
+        got = {r["tile_id"]: r for r in
+               tiling.raster_tiles_windowed(files, (90, 90),
+                                            level=1).collect()}
         assert set(got) == set(ref) and len(ref) > 0
         for tid, r in got.items():
             assert bytes(r["pixels"]) == bytes(ref[tid]["pixels"]), tid
