@@ -178,9 +178,14 @@ def main():
                 and prev["lo"].get("n_images") == N_IMAGES):
             lo_runs.append(prev["lo"])
             hi_runs.append(prev["hi"])
+    # hi leg FIRST: on this host quiet windows last ~2-4 min and load
+    # bursts resume mid-invocation, so whichever leg runs second is
+    # systematically noise-hit — the 8/16-core leg needs the quiet slot
+    # more than the 2/4-core leg (observed r4: hi stuck at burst-wall
+    # across three windows while lo kept improving)
     for _ in range(trials):
-        lo_runs.append(run_at(N_LO))
         hi_runs.append(run_at(N_HI))
+        lo_runs.append(run_at(N_LO))
     r8 = _best(lo_runs)
     r32 = _best(hi_runs)
     eff = r32["tiles_masks_per_sec"] / (4 * r8["tiles_masks_per_sec"])
