@@ -875,6 +875,78 @@ def g_png_features(spark, sf_dir):
                         "phash").orderBy("image_id")
 
 
+def g_overview_tiles(spark, sf_dir):
+    """Tiling a COG's overview level (reduced-resolution IFD) through
+    raster_tiles_windowed(level=1): the zoom-out serving path — each
+    task range-reads only the SMALL overview's tiles, never touching
+    full-res bytes.  Byte parity with tiling the decimated pixels is
+    pinned in tests/test_windowed_tiles.py; md5 VALUES oracle here."""
+    import numpy as np
+
+    from solaris_spark.functions.tiffio import write_tiff
+    from solaris_spark.operators import tiling
+    path = "/tmp/solaris_spark_pyramid_fixture.tif"
+    rng = np.random.default_rng(41)
+    arr = rng.integers(0, 255, size=(3, 600, 560), dtype=np.uint8)
+    write_tiff(path, arr, tile=(128, 128), compress="deflate", predictor=2,
+               overviews=[2, 4],
+               transform=(0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0),
+               epsg=32616)
+    # manifest describes LEVEL 1's grid: dims halved, pixel size doubled
+    files = spark.createDataFrame(
+        [("pyr", path, 280, 300, 1.0, 0.0, 733601.0, 0.0, -1.0,
+          3725139.0, None)],
+        "image_id string, path string, w int, h int, a double, b double, "
+        "c double, d double, e double, f double, nodata double")
+    t = tiling.raster_tiles_windowed(files, (128, 128), partitions=8,
+                                     level=1)
+    return (t.select("tile_id", "tx", "ty",
+                     F.md5(F.col("pixels")).alias("tile_md5"),
+                     F.round("nodata_frac", 6).alias("nodata_frac"))
+            .orderBy("tile_id"))
+
+
+def g_bigtiff_tiles(spark, sf_dir):
+    """Windowed tiling of a BigTIFF (format version 43, 8-byte offsets —
+    the container classic TIFF cannot provide past 4 GB, routine at
+    100 TB imagery scale) through the same byte-range path; md5 VALUES
+    oracle pins the v43 parser inside the Spark pipeline."""
+    import numpy as np
+
+    from solaris_spark.functions.tiffio import write_tiff
+    from solaris_spark.operators import tiling
+    path = "/tmp/solaris_spark_bigtiff_fixture.tif"
+    rng = np.random.default_rng(43)
+    arr = rng.integers(0, 255, size=(3, 300, 340), dtype=np.uint8)
+    write_tiff(path, arr, tile=(128, 128), compress="deflate", predictor=2,
+               bigtiff=True,
+               transform=(0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0),
+               epsg=32616)
+    files = spark.createDataFrame(
+        [("btf", path, 340, 300, 0.5, 0.0, 733601.0, 0.0, -0.5,
+          3725139.0, None)],
+        "image_id string, path string, w int, h int, a double, b double, "
+        "c double, d double, e double, f double, nodata double")
+    t = tiling.raster_tiles_windowed(files, (128, 128), partitions=8)
+    return (t.select("tile_id", "tx", "ty",
+                     F.md5(F.col("pixels")).alias("tile_md5"),
+                     F.round("nodata_frac", 6).alias("nodata_frac"))
+            .orderBy("tile_id"))
+
+
+def g_resize_stats(spark, sf_dir):
+    """Area-mean image resize (multimodal.resize_images) over the
+    deterministic synth images; md5 of the exact resized payload pins
+    the block-average kernel (VALUES oracle)."""
+    from solaris_spark.operators import multimodal
+    from solaris_spark.sources import synth
+    images = synth.images_table(spark, 10, include_fixture=False)
+    small = multimodal.resize_images(images, 32, 24)
+    return (small.select("image_id", "w", "h",
+                         F.md5(F.col("bytes")).alias("resize_md5"))
+            .orderBy("image_id"))
+
+
 def g_crop_stats(spark, sf_dir):
     """Pixel-window image crop (reference preproc/image.py:373-409 Crop:
     INCLUSIVE [left, bottom, right, top] srcWin) over the deterministic
@@ -1255,6 +1327,59 @@ SELECT * FROM (VALUES
   ('png_6', CAST(128.3053 AS DOUBLE), CAST(173.0166 AS DOUBLE), CAST(1743551850126880509 AS BIGINT)),
   ('png_7', CAST(127.9688 AS DOUBLE), CAST(169.3832 AS DOUBLE), CAST(3666152394209283239 AS BIGINT))
 ) AS t(image_id, mean_c0, edge_density, phash)
+"""
+
+
+# Pinned output of g_overview_tiles: windowed tiling of a COG's
+# reduced-resolution overview IFD (level=1; md5 per tile payload —
+# decimated-pixel parity proven in tests/test_windowed_tiles.py).
+SQL_OVERVIEW_TILES = """
+SELECT * FROM (VALUES
+  ('pyr_733601_3724967', CAST(0 AS INTEGER), CAST(0 AS INTEGER), 'a039325bd6fe6e3d0db45f95e8298ed8', CAST(0.0 AS DOUBLE)),
+  ('pyr_733601_3725095', CAST(0 AS INTEGER), CAST(1 AS INTEGER), '276c7ed4ceb298660ead85f75132fa36', CAST(0.0 AS DOUBLE)),
+  ('pyr_733601_3725223', CAST(0 AS INTEGER), CAST(2 AS INTEGER), '53a58d8a1d4492ac94c2b87ecfe2d11c', CAST(0.65625 AS DOUBLE)),
+  ('pyr_733729_3724967', CAST(1 AS INTEGER), CAST(0 AS INTEGER), '8ea9d194c0416c4f554179fd2b72c9b5', CAST(0.0 AS DOUBLE)),
+  ('pyr_733729_3725095', CAST(1 AS INTEGER), CAST(1 AS INTEGER), '847377db80ed2bc3890991c8cb7206f2', CAST(0.0 AS DOUBLE)),
+  ('pyr_733729_3725223', CAST(1 AS INTEGER), CAST(2 AS INTEGER), '7c3eb1be11b8cf8912a2099495a5ecbf', CAST(0.65625 AS DOUBLE)),
+  ('pyr_733857_3724967', CAST(2 AS INTEGER), CAST(0 AS INTEGER), 'c95e1c892d980fd9e30175e9623fa83c', CAST(0.8125 AS DOUBLE)),
+  ('pyr_733857_3725095', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '9267ccbeecd42b3ca4802621e1c0612e', CAST(0.8125 AS DOUBLE)),
+  ('pyr_733857_3725223', CAST(2 AS INTEGER), CAST(2 AS INTEGER), 'ae8a722ff8cdd07fd6ccf5d6e4bd1f88', CAST(0.935547 AS DOUBLE))
+) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
+"""
+
+
+# Pinned output of g_bigtiff_tiles: the BigTIFF (v43) container through
+# the same byte-range windowed tiling path.
+SQL_BIGTIFF_TILES = """
+SELECT * FROM (VALUES
+  ('btf_733601_3725053', CAST(0 AS INTEGER), CAST(0 AS INTEGER), 'd103eb7951ada3f42aee90d9965856c6', CAST(0.0 AS DOUBLE)),
+  ('btf_733601_3725117', CAST(0 AS INTEGER), CAST(1 AS INTEGER), 'e8b8619979d6e7c86349a2a9db78dd49', CAST(0.0 AS DOUBLE)),
+  ('btf_733601_3725181', CAST(0 AS INTEGER), CAST(2 AS INTEGER), 'ab65d2e453afd62428325d6624226304', CAST(0.65625 AS DOUBLE)),
+  ('btf_733665_3725053', CAST(1 AS INTEGER), CAST(0 AS INTEGER), 'd81d9e2cb463bf0c48a0d1b1cb056643', CAST(0.0 AS DOUBLE)),
+  ('btf_733665_3725117', CAST(1 AS INTEGER), CAST(1 AS INTEGER), '394cb6f4888b0d7fe4fa58a4822802f7', CAST(0.0 AS DOUBLE)),
+  ('btf_733665_3725181', CAST(1 AS INTEGER), CAST(2 AS INTEGER), '4ca9670f8d844dda6fe9b0ba3714805f', CAST(0.65625 AS DOUBLE)),
+  ('btf_733729_3725053', CAST(2 AS INTEGER), CAST(0 AS INTEGER), 'bbd15e65ec6b33c2f08c669df29b68f7', CAST(0.34375 AS DOUBLE)),
+  ('btf_733729_3725117', CAST(2 AS INTEGER), CAST(1 AS INTEGER), 'b6404523ce572fb7b9e7258144972f01', CAST(0.34375 AS DOUBLE)),
+  ('btf_733729_3725181', CAST(2 AS INTEGER), CAST(2 AS INTEGER), '2da89becdc47b4ed488c3345f2735334', CAST(0.774414 AS DOUBLE))
+) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
+"""
+
+
+# Pinned output of g_resize_stats: area-mean resize payload md5s over the
+# deterministic synth images.
+SQL_RESIZE_STATS = """
+SELECT * FROM (VALUES
+  ('img_000000000000', CAST(32 AS INTEGER), CAST(24 AS INTEGER), 'b370d15b3db5a296d60fd06e8506a0a0'),
+  ('img_000000000001', CAST(32 AS INTEGER), CAST(24 AS INTEGER), 'a635a05d4c65c8da0559f768c5b07255'),
+  ('img_000000000002', CAST(32 AS INTEGER), CAST(24 AS INTEGER), '711b41d4da1b1a68c09d102e90d66663'),
+  ('img_000000000003', CAST(32 AS INTEGER), CAST(24 AS INTEGER), '1ce7d8e14fb960e3f14eb68cfb08380c'),
+  ('img_000000000004', CAST(32 AS INTEGER), CAST(24 AS INTEGER), '3b0f419072481b94c8e0d9613bf7d13d'),
+  ('img_000000000005', CAST(32 AS INTEGER), CAST(24 AS INTEGER), '6d03f3ba0798afef70c0cb953238606e'),
+  ('img_000000000006', CAST(32 AS INTEGER), CAST(24 AS INTEGER), '09976f4e3a411f610e234c7c126f4a4a'),
+  ('img_000000000007', CAST(32 AS INTEGER), CAST(24 AS INTEGER), 'e2d8b4a9a3a56b4b14038131e6dcc5fa'),
+  ('img_000000000008', CAST(32 AS INTEGER), CAST(24 AS INTEGER), 'de6f322ac74efbd46c3312cdbcabcf35'),
+  ('img_000000000009', CAST(32 AS INTEGER), CAST(24 AS INTEGER), 'c62e956f959be7dd60ae5712371b3301')
+) AS t(image_id, w, h, resize_md5)
 """
 
 
@@ -1842,6 +1967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_stats": g_crop_stats,
         "windowed_tiles": g_windowed_tiles,
         "windowed_tiles_cog": g_windowed_tiles_cog,
+        "overview_tiles": g_overview_tiles,
+        "bigtiff_tiles": g_bigtiff_tiles,
+        "resize_stats": g_resize_stats,
         "png_features": g_png_features,
         "frame_sample": g_frame_sample,
         "audio_features": g_audio_features,
@@ -1896,6 +2024,9 @@ def oracle_sql() -> dict[str, str]:
         "crop_stats": SQL_CROP_STATS,
         "windowed_tiles": SQL_WINDOWED_TILES,
         "windowed_tiles_cog": SQL_WINDOWED_TILES_COG,
+        "overview_tiles": SQL_OVERVIEW_TILES,
+        "bigtiff_tiles": SQL_BIGTIFF_TILES,
+        "resize_stats": SQL_RESIZE_STATS,
         "png_features": SQL_PNG_FEATURES,
         "frame_sample": _sql_frame_sample(),
         "audio_features": SQL_AUDIO_FEATURES,
