@@ -73,3 +73,27 @@ class TestGlobalRunningAgg:
     def test_empty_input(self, spark):
         df = spark.createDataFrame([], "id int, v double")
         assert global_running_agg(df, "v", {"n": F.lit(1)}).count() == 0
+
+
+class TestPropertyParity:
+    def test_random_cases_match_single_window(self, spark):
+        """Randomized shapes (sizes, duplicates, negatives, bucket counts)
+        all reproduce the single-window plan exactly."""
+        import random
+        rnd = random.Random(99)
+        for case in range(4):
+            n = rnd.choice([1, 7, 300, 2500])
+            nb = rnd.choice([2, 8, 33])
+            rows = [(i, float(rnd.choice([-5, 0, 1.5, rnd.uniform(-100, 100)])),
+                     rnd.randint(-3, 3)) for i in range(n)]
+            df = spark.createDataFrame(rows, "id long, v double, x int") \
+                .repartition(5)
+            w = Window.orderBy(F.asc("v"), F.asc("id")) \
+                .rowsBetween(Window.unboundedPreceding, 0)
+            exp = {r["id"]: r["s"] for r in
+                   df.withColumn("s", F.sum("x").over(w)).collect()}
+            got = {r["id"]: r["s"] for r in
+                   global_running_agg(df, "v", {"s": F.col("x")},
+                                      ascending=True, tie_cols=("id",),
+                                      n_buckets=nb).collect()}
+            assert got == exp, (case, n, nb)
