@@ -93,3 +93,21 @@ class TestDistributedSink:
             return json.dumps(f, sort_keys=True)
 
         assert sorted(map(key, dist_feats)) == sorted(map(key, doc_feats))
+
+    def test_geojsonl_carries_road_type(self, spark, tmp_path):
+        import glob
+        import json
+
+        roads = spark.createDataFrame(
+            [(1, "LINESTRING (0 0, 1 0)", "motorway")],
+            "road_id long, wkt string, type string")
+        nodes, edges = graph.build_graph(roads, type_col="type")
+        _, ed = graph.graph_to_geojsonl(nodes, edges, str(tmp_path / "rt"))
+        feats = []
+        for part in glob.glob(f"{ed}/part-*"):
+            with open(part) as fh:
+                feats += [json.loads(line) for line in fh if line.strip()]
+        assert len(feats) == 1
+        assert feats[0]["properties"]["road_type"] == "motorway"
+        assert feats[0]["geometry"]["coordinates"] == [[0.0, 0.0],
+                                                       [1.0, 0.0]]

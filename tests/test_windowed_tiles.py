@@ -378,3 +378,18 @@ class TestWindowedTiling:
         allt = tiling.raster_tiles_windowed(files, (90, 90)).collect()
         assert 0 < len(kept) < len(allt)
         assert all(r["nodata_frac"] < 0.2 for r in kept)
+
+
+class TestBigEndian:
+    def test_reads_motorola_order_fixture(self):
+        """The reference's datagen samples are big-endian (MM) uint16
+        TIFFs — byte order comes from the header, not an assumption."""
+        im = read_tiff(
+            "/root/reference/solaris/data/datagen_sample/sample_1.tif")
+        assert im.array.shape == (1, 30, 30)
+        assert im.array.dtype == np.dtype(">u2")
+        msk = read_tiff(
+            "/root/reference/solaris/data/datagen_sample/sample_mask_1.tif")
+        assert msk.array.shape[1:] == (30, 30)
+        # masks are labels: small non-negative ints
+        assert int(msk.array.min()) >= 0
