@@ -934,6 +934,43 @@ def g_bigtiff_tiles(spark, sf_dir):
             .orderBy("tile_id"))
 
 
+def g_webmerc_project(spark, sf_dir):
+    """Web Mercator (EPSG 3857) projection of customer-derived lon/lat
+    through the pure-NumPy kernel (geom.wgs84_to_webmercator) in an
+    Arrow-batched pandas UDF.  The oracle RECOMPUTES the projection
+    independently in DuckDB SQL (radians/ln/tan) — a genuine math
+    cross-check, not a pinned VALUES table; 3857 is spherical by
+    definition so both closed forms are the exact official transform."""
+    import pandas as pd
+
+    c = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    pts = c.select(
+        F.col("c_custkey").alias("cust_id"),
+        ((F.col("c_custkey") % 340) - 170 + F.lit(0.25)).alias("lon"),
+        ((F.col("c_custkey") % 160) - 80 + F.lit(0.25)).alias("lat"))
+
+    @F.pandas_udf("x double, y double")
+    def merc(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        from solaris_spark.functions.geom import wgs84_to_webmercator
+        x, y = wgs84_to_webmercator(lon.to_numpy(), lat.to_numpy())
+        return pd.DataFrame({"x": x, "y": y})
+
+    out = pts.withColumn("m", merc("lon", "lat"))
+    return (out.select("cust_id",
+                       F.round(F.col("m.x"), 4).alias("merc_x"),
+                       F.round(F.col("m.y"), 4).alias("merc_y"))
+            .orderBy("cust_id"))
+
+
+SQL_WEBMERC = """
+SELECT c_custkey AS cust_id,
+       ROUND(6378137.0 * RADIANS((c_custkey % 340) - 170 + 0.25), 4) AS merc_x,
+       ROUND(6378137.0 * LN(TAN(PI()/4.0 + RADIANS((c_custkey % 160) - 80 + 0.25)/2.0)), 4) AS merc_y
+FROM customer WHERE c_custkey <= 200
+ORDER BY cust_id
+"""
+
+
 def g_resize_stats(spark, sf_dir):
     """Area-mean image resize (multimodal.resize_images) over the
     deterministic synth images; md5 of the exact resized payload pins
@@ -1970,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_tiles": g_overview_tiles,
         "bigtiff_tiles": g_bigtiff_tiles,
         "resize_stats": g_resize_stats,
+        "webmerc_project": g_webmerc_project,
         "png_features": g_png_features,
         "frame_sample": g_frame_sample,
         "audio_features": g_audio_features,
@@ -2027,6 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         "overview_tiles": SQL_OVERVIEW_TILES,
         "bigtiff_tiles": SQL_BIGTIFF_TILES,
         "resize_stats": SQL_RESIZE_STATS,
+        "webmerc_project": SQL_WEBMERC,
         "png_features": SQL_PNG_FEATURES,
         "frame_sample": _sql_frame_sample(),
         "audio_features": SQL_AUDIO_FEATURES,

@@ -1037,8 +1037,68 @@ def utm_to_wgs84(easting, northing, epsg: int):
     return np.degrees(lam + lon0), np.degrees(phi)
 
 
+# ---------------------------------------------------------------------------
+# Web Mercator (EPSG 3857) — the universal tile-serving CRS.  Defined on
+# the SPHERE (R = WGS84 semi-major axis), so these closed forms are the
+# exact official transformation, not an approximation (EPSG method 1024,
+# "Popular Visualisation Pseudo-Mercator").
+# ---------------------------------------------------------------------------
+
+_WEBMERC_R = 6378137.0
+_WEBMERC_MAX_LAT = 85.05112877980659  # atan(sinh(pi)) — the square bound
+
+
+def wgs84_to_webmercator(lon, lat):
+    """lon/lat degrees → EPSG 3857 meters (vectorized)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = _WEBMERC_R * np.radians(lon)
+    y = _WEBMERC_R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def webmercator_to_wgs84(x, y):
+    """EPSG 3857 meters → lon/lat degrees (vectorized)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _WEBMERC_R)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _WEBMERC_R)) - np.pi / 2.0)
+    return lon, lat
+
+
+def to_wgs84(x, y, epsg: int):
+    """(x, y) in ``epsg`` → (lon, lat).  Supported: 4326 (identity), 3857
+    (exact spherical), WGS84 UTM zones 326xx/327xx (Krüger).  Anything
+    else needs pyproj on a real cluster (documented gap)."""
+    if epsg == 4326:
+        return (np.asarray(x, dtype=np.float64),
+                np.asarray(y, dtype=np.float64))
+    if epsg == 3857:
+        return webmercator_to_wgs84(x, y)
+    if 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760:
+        return utm_to_wgs84(x, y, epsg)
+    raise NotImplementedError(
+        f"CRS {epsg}: only 4326, 3857 and WGS84 UTM are pure-NumPy here; "
+        "install pyproj on the cluster for arbitrary CRS")
+
+
+def from_wgs84(lon, lat, epsg: int):
+    """(lon, lat) → (x, y) in ``epsg``.  Same support matrix as to_wgs84."""
+    if epsg == 4326:
+        return (np.asarray(lon, dtype=np.float64),
+                np.asarray(lat, dtype=np.float64))
+    if epsg == 3857:
+        return wgs84_to_webmercator(lon, lat)
+    if 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760:
+        return wgs84_to_utm(lon, lat, epsg)
+    raise NotImplementedError(
+        f"CRS {epsg}: only 4326, 3857 and WGS84 UTM are pure-NumPy here; "
+        "install pyproj on the cluster for arbitrary CRS")
+
+
 def reproject_wkt(wkt: str, src_epsg: int, dst_epsg: int) -> str:
-    """Reproject polygon/linestring WKT between 4326 and UTM zones."""
+    """Reproject polygon/linestring WKT between any pair of the supported
+    CRS (4326, 3857, WGS84 UTM zones), pivoting through lon/lat."""
     if src_epsg == dst_epsg:
         return wkt
     gtype, parts = wkt_parse(wkt)
@@ -1046,15 +1106,9 @@ def reproject_wkt(wkt: str, src_epsg: int, dst_epsg: int) -> str:
         return wkt
 
     def conv(arr: np.ndarray) -> np.ndarray:
-        if src_epsg == 4326:
-            E, N = wgs84_to_utm(arr[:, 0], arr[:, 1], dst_epsg)
-            return np.stack([E, N], axis=1)
-        if dst_epsg == 4326:
-            lon, lat = utm_to_wgs84(arr[:, 0], arr[:, 1], src_epsg)
-            return np.stack([lon, lat], axis=1)
-        lon, lat = utm_to_wgs84(arr[:, 0], arr[:, 1], src_epsg)
-        E, N = wgs84_to_utm(lon, lat, dst_epsg)
-        return np.stack([E, N], axis=1)
+        lon, lat = to_wgs84(arr[:, 0], arr[:, 1], src_epsg)
+        X, Y = from_wgs84(lon, lat, dst_epsg)
+        return np.stack([X, Y], axis=1)
 
     if gtype == "MULTIPOLYGON":
         new = [[conv(r) for r in poly] for poly in parts]

@@ -335,8 +335,8 @@ def warp_bilinear(src: np.ndarray, src_transform, src_epsg: int,
     """Inverse-mapping bilinear reprojection (rasterio.warp.reproject's
     default resampling — solaris/tile/raster_tile.py:350-387 path for
     dest_crs ≠ src_crs).  For each dest pixel center: dest geo → src CRS
-    (4326↔UTM closed form) → src pixel coords → bilinear sample; samples
-    outside the source get `nodata`."""
+    (4326/3857/UTM closed forms, geom.to_wgs84/from_wgs84) → src pixel
+    coords → bilinear sample; samples outside the source get `nodata`."""
     from . import geom as G
 
     C, H, W = src.shape
@@ -346,13 +346,8 @@ def warp_bilinear(src: np.ndarray, src_transform, src_epsg: int,
     gx = a * cols + b * rows + c
     gy = d * cols + e * rows + f
     if src_epsg != dst_epsg:
-        if dst_epsg == 4326:
-            sx, sy = G.wgs84_to_utm(gx.ravel(), gy.ravel(), src_epsg)
-        elif src_epsg == 4326:
-            sx, sy = G.utm_to_wgs84(gx.ravel(), gy.ravel(), dst_epsg)
-        else:
-            lon, lat = G.utm_to_wgs84(gx.ravel(), gy.ravel(), dst_epsg)
-            sx, sy = G.wgs84_to_utm(lon, lat, src_epsg)
+        lon, lat = G.to_wgs84(gx.ravel(), gy.ravel(), dst_epsg)
+        sx, sy = G.from_wgs84(lon, lat, src_epsg)
         gx, gy = sx.reshape(oh, ow), sy.reshape(oh, ow)
     ia, ib, ic, id_, ie, if_ = G.affine_invert(src_transform)
     px = ia * gx + ib * gy + ic - 0.5   # src pixel-center coords

@@ -300,13 +300,8 @@ def raster_tiles_warped(images_geo: DataFrame, tile_size: tuple[int, int],
                     [0.0, 0.0]])
                 geo = G.affine_apply(corners, src_t)
                 if src_epsg != dest_epsg:
-                    if dest_epsg == 4326:
-                        x, y = G.utm_to_wgs84(geo[:, 0], geo[:, 1], src_epsg)
-                    elif src_epsg == 4326:
-                        x, y = G.wgs84_to_utm(geo[:, 0], geo[:, 1], dest_epsg)
-                    else:
-                        lon, lat = G.utm_to_wgs84(geo[:, 0], geo[:, 1], src_epsg)
-                        x, y = G.wgs84_to_utm(lon, lat, dest_epsg)
+                    lon, lat = G.to_wgs84(geo[:, 0], geo[:, 1], src_epsg)
+                    x, y = G.from_wgs84(lon, lat, dest_epsg)
                     geo = np.stack([x, y], axis=1)
                 bounds = (geo[:, 0].min(), geo[:, 1].min(),
                           geo[:, 0].max(), geo[:, 1].max())

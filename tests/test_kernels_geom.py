@@ -245,3 +245,85 @@ class TestReprojectFullFileGolden:
             _, pu = G.wkt_parse(wu)
             au = G.polygon_area(wu)
             assert G.polygon_intersection_area(pb, pu) / au > 0.99999
+
+
+class TestWebMercator:
+    """EPSG 3857 is DEFINED on the sphere, so the closed forms are exact —
+    pins are public constants of the projection itself."""
+
+    def test_public_constants(self):
+        from solaris_spark.functions import geom as G
+        # the famous square bound: lon 180 and lat atan(sinh(pi)) both map
+        # to 20037508.342789244 m
+        x, y = G.wgs84_to_webmercator(180.0, 85.05112877980659)
+        assert abs(float(x) - 20037508.342789244) < 1e-6
+        assert abs(float(y) - 20037508.342789244) < 1e-6
+        x0, y0 = G.wgs84_to_webmercator(0.0, 0.0)
+        assert float(x0) == 0.0 and float(y0) == 0.0
+        # one degree of longitude at the equator
+        x1, _ = G.wgs84_to_webmercator(1.0, 0.0)
+        assert abs(float(x1) - 111319.49079327358) < 1e-8
+
+    def test_roundtrip(self):
+        import numpy as np
+
+        from solaris_spark.functions import geom as G
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-179, 179, 500)
+        lat = rng.uniform(-84, 84, 500)
+        x, y = G.wgs84_to_webmercator(lon, lat)
+        lon2, lat2 = G.webmercator_to_wgs84(x, y)
+        assert np.abs(lon2 - lon).max() < 1e-11
+        assert np.abs(lat2 - lat).max() < 1e-11
+
+    def test_reproject_wkt_cross_crs(self):
+        import numpy as np
+
+        from solaris_spark.functions import geom as G
+        # UTM 16N → 3857 → back, pivoting through lon/lat both ways
+        wkt = ("POLYGON ((733601 3725139, 733701 3725139, 733701 3725039, "
+               "733601 3725039, 733601 3725139))")
+        merc = G.reproject_wkt(wkt, 32616, 3857)
+        back = G.reproject_wkt(merc, 3857, 32616)
+        _, p0 = G.wkt_parse(wkt)
+        _, p1 = G.wkt_parse(back)
+        # two Krüger pivots round-trip to ~1.3 µm — sub-millimeter
+        assert np.abs(np.asarray(p1[0]) - np.asarray(p0[0])).max() < 1e-5
+
+    def test_unsupported_crs_raises(self):
+        import pytest as _pytest
+
+        from solaris_spark.functions import geom as G
+        with _pytest.raises(NotImplementedError):
+            G.to_wgs84(0.0, 0.0, 27700)  # OSGB needs pyproj
+
+    def test_warp_identity_field_through_3857(self):
+        """Bilinear warp 4326→3857 of a linear field reproduces the field
+        at dest pixel centers (linear fields are preserved by bilinear
+        sampling; the CRS hop must not bend them)."""
+        import numpy as np
+
+        from solaris_spark.functions import geom as G
+        from solaris_spark.functions import raster as R
+        H = W = 40
+        src_t = (0.01, 0.0, -0.2, 0.0, -0.01, 0.2)  # lon/lat grid
+        cols, rows = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+        lon = src_t[0] * cols + src_t[2]
+        lat = src_t[4] * rows + src_t[5]
+        field = (3.0 * lon + 2.0 * lat).astype(np.float64)[None]
+        # dest grid: interior of the same extent in 3857
+        x0, y1 = G.wgs84_to_webmercator(-0.18, 0.18)
+        x1, y0 = G.wgs84_to_webmercator(0.18, -0.18)
+        ow = oh = 30
+        dst_t = ((float(x1) - float(x0)) / ow, 0.0, float(x0),
+                 0.0, (float(y0) - float(y1)) / oh, float(y1))
+        out = R.warp_bilinear(field, src_t, 4326, dst_t, 3857, (oh, ow),
+                              nodata=np.nan)
+        dc, dr = np.meshgrid(np.arange(ow) + 0.5, np.arange(oh) + 0.5)
+        gx = dst_t[0] * dc + dst_t[2]
+        gy = dst_t[4] * dr + dst_t[5]
+        dlon, dlat = G.webmercator_to_wgs84(gx, gy)
+        exp = 3.0 * dlon + 2.0 * dlat
+        ok = ~np.isnan(out[0])
+        assert ok.mean() > 0.95
+        assert np.abs(out[0][ok] - exp[ok]).max() < 1e-9
