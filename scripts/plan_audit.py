@@ -126,23 +126,71 @@ def main():
         f"- executedPlan chars at dim=16: {l16}; at dim=768: {l768} "
         f"(bound: ≤1.5×) — hyperplanes are a broadcast, not literals\n")
 
-    # 8. global running sums: every window spec in the plan must carry a
-    # partition key (the distributed prefix sum, plans/prefix.py) — an
-    # unpartitioned WindowExec moves the whole input to one task
-    cum = qs["conf_cumsum"](spark, sf_dir)
-    plan = cum._jdf.queryExecution().executedPlan().toString()
-    bad_win = [ln.strip()[:120] for ln in plan.splitlines()
-               if "windowspecdefinition" in ln
-               and "__prefix_bkt" not in ln]
-    win_ok = not bad_win
-    checks.append(("conf_cumsum windows all partitioned", win_ok))
-    sections.append(
-        f"## conf_cumsum window partitioning — "
-        f"{'PASS' if win_ok else 'FAIL'}\n\n"
-        "- every windowspecdefinition carries the `__prefix_bkt` "
-        "partition key (distributed prefix sum; no single-partition "
-        "WindowExec)\n"
-        + ("".join(f"- ✗ {ln}\n" for ln in bad_win)))
+    # 8. NO unpartitioned window anywhere: an unpartitioned WindowExec
+    # moves the whole input through ONE task.  Detector: inside every
+    # windowspecdefinition(...), the arguments before the first ordering
+    # spec (" ASC NULLS"/" DESC NULLS") are the partition columns — if the
+    # FIRST top-level argument is already an ordering spec, the window has
+    # no partition key.  Applied to the prefix-sum query, the road-graph
+    # node-id assignment, and the challenges CSV loader (the three places
+    # r4's audit missed).
+    def unpartitioned_windows(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = []
+        i = 0
+        while True:
+            i = plan.find("windowspecdefinition(", i)
+            if i < 0:
+                break
+            j = i + len("windowspecdefinition(")
+            depth, start = 1, j
+            while depth and j < len(plan):
+                depth += {"(": 1, ")": -1}.get(plan[j], 0)
+                j += 1
+            args = plan[start: j - 1]
+            # first top-level comma-separated argument
+            d = 0
+            first = args
+            for k, ch in enumerate(args):
+                if ch in "([":
+                    d += 1
+                elif ch in ")]":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    first = args[:k]
+                    break
+            if " ASC NULLS" in first or " DESC NULLS" in first:
+                bad.append(args[:120])
+            i = j
+        return bad
+
+    def audit_windows(name, df):
+        bad = unpartitioned_windows(df)
+        ok = not bad
+        checks.append((f"{name} windows all partitioned", ok))
+        sections.append(
+            f"## {name} window partitioning — {'PASS' if ok else 'FAIL'}\n\n"
+            "- every windowspecdefinition carries a partition key "
+            "(no single-partition WindowExec)\n"
+            + ("".join(f"- ✗ windowspecdefinition({ln})\n" for ln in bad)))
+
+    audit_windows("conf_cumsum", qs["conf_cumsum"](spark, sf_dir))
+
+    from solaris_spark.operators import challenges, graph as graphops
+    roads = spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 3 4, 6 8)"),
+         (2, "LINESTRING (6 8, 10 8, 10 12)")], "road_id long, wkt string")
+    g_nodes, g_edges = graphops.build_graph(roads)
+    audit_windows("road_graph nodes", g_nodes)
+    audit_windows("road_graph edges", g_edges)
+
+    ref_data = "/root/reference/solaris/data"
+    if os.path.isdir(ref_data):
+        per_bin, per_image = challenges.spacenet_buildings_eval(
+            spark, f"{ref_data}/SN2_sample_preds.csv",
+            f"{ref_data}/SN2_sample_truth.csv")
+        audit_windows("spacenet_eval per_image", per_image)
+        audit_windows("spacenet_eval per_bin", per_bin)
 
     md = ["# BENCH/PLANS — physical-plan audit of headline operators\n",
           "Auto-generated by scripts/plan_audit.py — asserts the plan",

@@ -11,7 +11,7 @@ Re-expresses solaris/eval/challenges.py:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 # public SpaceNet-4 Atlanta collect ids → nadir bin (challenges.py:144-177)
 OFF_NADIR_BINS = {
@@ -70,13 +70,15 @@ def spacenet_buildings_eval(spark, prop_csv: str, truth_csv: str,
     def load(path, with_conf):
         df = (spark.read.option("header", True).option("quote", '"')
               .option("escape", '"').csv(path))
-        # row_id = CSV row order (the reference's per-building index).
-        # Global window is fine here: competition CSVs are submission-sized;
-        # at scale give rows explicit ids upstream instead.
-        w = F.row_number().over(
-            Window.orderBy(F.monotonically_increasing_id()))
+        # row_id encodes CSV row order (the reference's per-building
+        # index).  monotonically_increasing_id is partition-ordered —
+        # splits of one file come out in offset order — so it preserves
+        # the CSV row order as a SORT KEY without funnelling the load
+        # through a single-partition window.  Downstream (greedy match
+        # tie-break, per-row identity) only compares row_ids, never
+        # requires them dense, so the sparse ids are equivalent.
         cols = [F.col("ImageId").alias("image_id"),
-                (w - 1).cast("long").alias("row_id"),
+                F.monotonically_increasing_id().alias("row_id"),
                 F.col("PolygonWKT_Pix").alias("wkt")]
         if with_conf:
             cols.append(F.col("Confidence").cast("double").alias("conf"))

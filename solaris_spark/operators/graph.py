@@ -11,8 +11,11 @@ node dedup :327-331 / :445) GraphFrames-style:
 - edges(src, dst, weight, road_type, edge_id): consecutive vertex pairs,
   weight = Euclidean length (optionally × normalize factor).
 
-The node-id assignment is deterministic (dense_rank over sorted coords) so
-re-runs and different cluster sizes produce identical graphs.
+The node-id assignment is deterministic (dense ordinal over coords sorted
+by (x, y)) so re-runs and different cluster sizes produce identical
+graphs — computed with the distributed prefix machinery
+(plans/prefix.global_running_agg), NOT an unpartitioned window: a
+continent-scale road network's vertex set never funnels through one task.
 """
 
 from __future__ import annotations
@@ -20,9 +23,10 @@ from __future__ import annotations
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from ..functions import geom as G
+from ..plans import prefix
 
 
 def _explode_vertices(roads: DataFrame, wkt_col: str, precision: int | None):
@@ -72,11 +76,15 @@ def build_graph(roads: DataFrame, wkt_col: str = "wkt",
     r = r.filter(~F.upper(F.col(wkt_col)).contains("EMPTY"))
 
     v = _explode_vertices(r, wkt_col, precision)
-    # deterministic node ids: dense_rank over (x, y)
+    # deterministic DENSE node ids over the (x, y) sort order without a
+    # single-partition window: rows are distinct on (x, y), so a global
+    # running count of 1 ordered by (x, y) IS the row number — and the
+    # prefix-sum plan range-buckets on x, windows within buckets, and
+    # folds bucket offsets in as literals (plans/prefix.py)
     distinct_nodes = v.select("x", "y").distinct()
-    w = Window.orderBy("x", "y")
-    nodes = distinct_nodes.withColumn(
-        "node_id", F.row_number().over(w).cast("long"))
+    nodes = prefix.global_running_agg(
+        distinct_nodes, "x", {"node_id": F.lit(1)}, tie_cols=("y",))
+    nodes = nodes.withColumn("node_id", F.col("node_id").cast("long"))
 
     v = v.join(nodes, ["x", "y"])
     nxt = v.select(

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.storagelevel import StorageLevel
 
 _BKT = "__prefix_bkt"
 
@@ -56,7 +57,22 @@ def global_running_agg(df: DataFrame, order_col: str,
             arr, lambda x: x < F.col(order_col).cast("double")))
     else:
         bucket = F.lit(0)
-    d = df.withColumn(_BKT, bucket)
+    # Persist the bucketed frame: the per-bucket totals job (below) and
+    # the caller's final job BOTH read this one evaluation, so a
+    # nondeterministic upstream (sampling, rand, re-read of a changing
+    # source) cannot bucket/sum differently between the two passes.
+    # Spark's LRU cache evicts it under pressure; at 100 TB prefer
+    # StorageLevel.DISK_ONLY or an upstream checkpoint instead of
+    # recomputation-prone MEMORY_AND_DISK defaults.
+    d = df.withColumn(_BKT, bucket).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # per-bucket totals: bounded (≤ n_buckets rows) — collect and fold the
+    # exclusive prefix back in as literals, not a join.  Computed FROM the
+    # persisted bucketed frame (single definition of the bucketing), not a
+    # second withColumn over df.
+    tot = (d.groupBy(_BKT)
+           .agg(*[F.sum(col).alias(name) for name, col in aggs.items()])
+           .collect())
 
     direction = F.asc(order_col) if ascending else F.desc(order_col)
     w = Window.partitionBy(_BKT) \
@@ -66,12 +82,6 @@ def global_running_agg(df: DataFrame, order_col: str,
     loc = {name: f"__loc_{name}" for name in aggs}
     for name, col in aggs.items():
         d = d.withColumn(loc[name], F.sum(col).over(w))
-
-    # per-bucket totals: bounded (≤ n_buckets rows) — collect and fold the
-    # exclusive prefix back in as literals, not a join
-    tot = (df.withColumn(_BKT, bucket).groupBy(_BKT)
-           .agg(*[F.sum(col).alias(name) for name, col in aggs.items()])
-           .collect())
     tot.sort(key=lambda r: r[_BKT], reverse=not ascending)
     offsets: dict[str, dict[int, object]] = {name: {} for name in aggs}
     acc: dict[str, object] = {name: None for name in aggs}
