@@ -851,6 +851,37 @@ def g_windowed_tiles_cog(spark, sf_dir):
             .orderBy("tile_id"))
 
 
+def g_lzw_tiles(spark, sf_dir):
+    """Byte-range tiling of an LZW-compressed SEPARATE-PLANE GeoTIFF —
+    TIFF LZW (tag 259=5, early change) + planar configuration 2 (tag
+    284=2, the Landsat archive layout) + horizontal predictor, written
+    deterministically by tiffio.write_tiff; every task fetches only the
+    per-band file tiles under its output tile (tiffio.read_tiff_window).
+    md5 per tile payload pins byte parity — verified identical to the
+    uncompressed chunky layout of the same pixels (VALUES oracle;
+    tests/test_windowed_tiles.py TestLzw/TestPlanarConfig2)."""
+    import numpy as np
+
+    from solaris_spark.functions.tiffio import write_tiff
+    from solaris_spark.operators import tiling
+    path = "/tmp/solaris_spark_lzw_fixture.tif"
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 255, size=(3, 500, 640), dtype=np.uint8)
+    write_tiff(path, arr, tile=(256, 256), compress="lzw", predictor=2,
+               planar=2, transform=(0.5, 0.0, 733601.0, 0.0, -0.5,
+                                    3725139.0), epsg=32616)
+    files = spark.createDataFrame(
+        [("lzw", path, 640, 500, 0.5, 0.0, 733601.0, 0.0, -0.5,
+          3725139.0, None)],
+        "image_id string, path string, w int, h int, a double, b double, "
+        "c double, d double, e double, f double, nodata double")
+    t = tiling.raster_tiles_windowed(files, (256, 256), partitions=8)
+    return (t.select("tile_id", "tx", "ty",
+                     F.md5(F.col("pixels")).alias("tile_md5"),
+                     F.round("nodata_frac", 6).alias("nodata_frac"))
+            .orderBy("tile_id"))
+
+
 def g_png_features(spark, sf_dir):
     """Feature extraction over PNG-encoded images — the pure-Python codec
     (functions/png.py) decoding inside the same mapInPandas pipeline as
@@ -1346,6 +1377,22 @@ SELECT * FROM (VALUES
   ('cog_733857_3725007', CAST(2 AS INTEGER), CAST(0 AS INTEGER), '4ce380218950292d43eb7f081b42f4d7', CAST(0.617188 AS DOUBLE)),
   ('cog_733857_3725135', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '71c2549a9081c9e82a5eb9418731d2ee', CAST(0.617188 AS DOUBLE)),
   ('cog_733857_3725263', CAST(2 AS INTEGER), CAST(2 AS INTEGER), '84102c1f469011346fbcfa6e3caa3eba', CAST(0.988037 AS DOUBLE))
+) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
+"""
+
+
+# Pinned output of g_lzw_tiles: byte-range tiling of an LZW + planar-2 +
+# predictor GeoTIFF (deterministic seeded content; md5 per tile payload —
+# verified byte-identical to the uncompressed chunky layout of the same
+# pixels, and windowed/full parity in tests/test_windowed_tiles.py).
+SQL_LZW_TILES = """
+SELECT * FROM (VALUES
+  ('lzw_733601_3725017', CAST(0 AS INTEGER), CAST(0 AS INTEGER), 'f7559a7d41b15823bab2994c1a0a90b2', CAST(0.0 AS DOUBLE)),
+  ('lzw_733601_3725145', CAST(0 AS INTEGER), CAST(1 AS INTEGER), '04b116ea4d8e621795f45350cf3a673b', CAST(0.046875 AS DOUBLE)),
+  ('lzw_733729_3725017', CAST(1 AS INTEGER), CAST(0 AS INTEGER), '211b1f263f29c9bae59ad927032e2512', CAST(0.0 AS DOUBLE)),
+  ('lzw_733729_3725145', CAST(1 AS INTEGER), CAST(1 AS INTEGER), 'fbe453a93e159c7af127857da1632a71', CAST(0.046875 AS DOUBLE)),
+  ('lzw_733857_3725017', CAST(2 AS INTEGER), CAST(0 AS INTEGER), '36c94112d43d2e0ee0377bbfb5ec9861', CAST(0.5 AS DOUBLE)),
+  ('lzw_733857_3725145', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '948829623ccc13282a18fad25ec8647b', CAST(0.523438 AS DOUBLE))
 ) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
 """
 
@@ -2004,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_stats": g_crop_stats,
         "windowed_tiles": g_windowed_tiles,
         "windowed_tiles_cog": g_windowed_tiles_cog,
+        "lzw_tiles": g_lzw_tiles,
         "overview_tiles": g_overview_tiles,
         "bigtiff_tiles": g_bigtiff_tiles,
         "resize_stats": g_resize_stats,
@@ -2062,6 +2110,7 @@ def oracle_sql() -> dict[str, str]:
         "crop_stats": SQL_CROP_STATS,
         "windowed_tiles": SQL_WINDOWED_TILES,
         "windowed_tiles_cog": SQL_WINDOWED_TILES_COG,
+        "lzw_tiles": SQL_LZW_TILES,
         "overview_tiles": SQL_OVERVIEW_TILES,
         "bigtiff_tiles": SQL_BIGTIFF_TILES,
         "resize_stats": SQL_RESIZE_STATS,

@@ -1,8 +1,9 @@
 """Pure-NumPy TIFF/BigTIFF reader/writer: strip AND tiled layouts,
-uncompressed AND deflate (zlib) compression, horizontal-differencing
-predictor, multi-IFD overview pyramids — the real COG file layout — plus
-GeoTIFF georegistration tags and byte-range windowed reads with a
-per-process parsed-IFD cache.
+uncompressed / deflate (zlib) / LZW compression, horizontal-differencing
+predictor, chunky AND separate-plane (planar=2) sample layouts, sparse
+(offset/count 0) blocks as nodata fill, multi-IFD overview pyramids —
+the real COG file layout — plus GeoTIFF georegistration tags and
+byte-range windowed reads with a per-process parsed-IFD cache.
 
 The reference's golden fixtures (e.g. ``solaris/data/sample_geotiff.tif``,
 ``rastertile_test_expected/*.tif``, mask goldens in ``test_mask.py``) are
@@ -32,9 +33,105 @@ import os
 import struct
 import threading
 import zlib
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import numpy as np
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF LZW (compression 5): MSB-first bit packing, ClearCode 256,
+    EOI 257, 9→12-bit codes with the TIFF "early change" — the width
+    bumps as soon as table entry 2^n - 1 exists (one entry before the
+    naive rollover), matching libtiff/GDAL output.  LZW is the most
+    common compressed GeoTIFF in the wild (the reference reads it via
+    GDAL, solaris/tile/raster_tile.py:332)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    nbits = 9
+    bitpos = 0
+    maxbit = len(data) * 8
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while bitpos + nbits <= maxbit:
+        byte0 = bitpos >> 3
+        chunk = data[byte0: byte0 + 3].ljust(3, b"\x00")
+        code = (int.from_bytes(chunk, "big")
+                >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = None
+            continue
+        if prev is None:
+            if not table:
+                raise ValueError("LZW stream does not start with ClearCode")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # early change: entry 511/1023/2047 existing forces the wider read
+        if len(table) == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder (early change, table reset at entry 4094) —
+    exact inverse of ``_lzw_decode``; block layout round-trips through
+    libtiff-compatible readers."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = nbuf = 0
+    nbits = 9
+
+    def emit(code):
+        nonlocal buf, nbuf
+        buf = (buf << nbits) | code
+        nbuf += nbits
+        while nbuf >= 8:
+            out.append((buf >> (nbuf - 8)) & 0xFF)
+            nbuf -= 8
+        buf &= (1 << nbuf) - 1
+
+    def reset():
+        nonlocal nbits
+        emit(CLEAR)
+        nbits = 9
+        return {bytes([i]): i for i in range(256)}, 258
+
+    table, next_code = reset()
+    w = b""
+    for b in data:
+        ch = bytes([b])
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # early change: bump the WRITE width once entry 2^n - 1 exists,
+        # mirroring the decoder's read-width bump
+        if next_code - 1 == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        w = ch
+        if next_code == 4094:  # 12-bit ceiling (early change reserves one)
+            table, next_code = reset()
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nbuf:
+        out.append((buf << (8 - nbuf)) & 0xFF)
+    return bytes(out)
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -192,10 +289,10 @@ def _parse_meta(rd) -> list[TiffMeta]:
         w = get(256)[0]
         h = get(257)[0]
         comp = get(259, (1,))[0]
-        if comp not in (1, 8, 32946):
+        if comp not in (1, 5, 8, 32946):
             raise NotImplementedError(
                 f"unsupported TIFF compression={comp} (supported: 1=none, "
-                "8/32946=deflate)")
+                "5=LZW, 8/32946=deflate)")
         spp = get(277, (1,))[0]
         planar = get(284, (1,))[0]
         bps = get(258, (1,) * spp)
@@ -263,10 +360,14 @@ def _parse_meta(rd) -> list[TiffMeta]:
 
 
 # per-process parsed-IFD-chain cache; key = (abspath, mtime_ns, size) so
-# an overwritten file re-parses.  Bounded; stale versions of a path
-# evicted on refresh.  Thread-safe: Spark local mode runs many task
-# threads per worker process.
-_META_CACHE: dict[tuple, list[TiffMeta]] = {}
+# an overwritten file re-parses.  (Known staleness window: a same-size
+# overwrite landing within one mtime tick on a coarse-granularity
+# filesystem serves the old metadata — acceptable for immutable-ingest
+# pipelines, where imagery is never rewritten in place.)  LRU: a full
+# cache evicts ONE least-recently-used entry, never the whole cache —
+# a clear would force every live file to re-parse at once.  Thread-safe:
+# Spark local mode runs many task threads per worker process.
+_META_CACHE: OrderedDict[tuple, list[TiffMeta]] = OrderedDict()
 _META_LOCK = threading.Lock()
 _META_CACHE_MAX = 4096
 
@@ -276,23 +377,32 @@ def _cached_meta(path: str, rd) -> tuple[list[TiffMeta], bool]:
     key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     with _META_LOCK:
         m = _META_CACHE.get(key)
+        if m is not None:
+            _META_CACHE.move_to_end(key)
     if m is not None:
         return m, True
     m = _parse_meta(rd)
     with _META_LOCK:
         for k in [k for k in _META_CACHE if k[0] == key[0] and k != key]:
             del _META_CACHE[k]
-        if len(_META_CACHE) >= _META_CACHE_MAX:
-            _META_CACHE.clear()
+        while len(_META_CACHE) >= _META_CACHE_MAX:
+            _META_CACHE.popitem(last=False)
         _META_CACHE[key] = m
     return m, False
 
 
 def _decode_block(meta: TiffMeta, raw: bytes, rows: int, cols: int,
                   spp: int) -> np.ndarray:
-    """One strip/tile → (rows, cols, spp) array (predictor undone)."""
+    """One strip/tile → (rows, cols, spp) array (predictor undone).
+    Empty ``raw`` means a sparse block (GDAL SPARSE_OK writes tile
+    offset/count 0 — legal per spec): filled with nodata (or 0)."""
+    if not raw:
+        fill = meta.nodata if meta.nodata is not None else 0
+        return np.full((rows, cols, spp), fill, dtype=meta.dtype)
     if meta.comp in (8, 32946):
         raw = zlib.decompress(raw)
+    elif meta.comp == 5:
+        raw = _lzw_decode(raw)
     arr = np.frombuffer(raw, dtype=meta.dtype)[: rows * cols * spp] \
         .reshape(rows, cols, spp)
     if meta.predictor == 2:
@@ -310,26 +420,36 @@ _COALESCE_GAP = 4096
 
 
 def _fetch_blocks(rd, meta: TiffMeta, idxs) -> dict[int, bytes]:
-    """Fetch the given block indices, coalescing file-adjacent ranges."""
-    want = sorted((meta.offsets[i], meta.counts[i], i) for i in set(idxs))
+    """Fetch the given block indices, coalescing file-adjacent ranges.
+    Sparse blocks (count == 0) are never read — they map to b"" and
+    decode as nodata fill.  The running range end is tracked as a scalar
+    (not re-scanned per candidate), so coalescing is O(N) in block count
+    — a full read of a 10^5-tile COG forms one run."""
     out: dict[int, bytes] = {}
+    want = sorted((meta.offsets[i], meta.counts[i], i)
+                  for i in set(idxs) if meta.counts[i] > 0)
+    for i in set(idxs):
+        if meta.counts[i] == 0:
+            out[i] = b""
     run: list[tuple[int, int, int]] = []
+    run_end = 0
 
     def flush():
         if not run:
             return
         start = run[0][0]
-        end = max(o + n for o, n, _ in run)
-        raw = rd.read(start, end - start)
+        raw = rd.read(start, run_end - start)
         for o, n_, i in run:
             out[i] = raw[o - start: o - start + n_]
 
     for b in want:
-        if run and b[0] <= max(o + n for o, n, _ in run) + _COALESCE_GAP:
+        if run and b[0] <= run_end + _COALESCE_GAP:
             run.append(b)
+            run_end = max(run_end, b[0] + b[1])
         else:
             flush()
             run = [b]
+            run_end = b[0] + b[1]
     flush()
     return out
 
@@ -337,37 +457,59 @@ def _fetch_blocks(rd, meta: TiffMeta, idxs) -> dict[int, bytes]:
 def _read_region(rd, meta: TiffMeta, r0: int, c0: int, r1: int,
                  c1: int) -> np.ndarray:
     """Pixels for rows [r0,r1) × cols [c0,c1) → (C, h, w), fetching ONLY
-    the strips/tiles overlapping the region (chunky or 1-band planar)."""
-    if meta.planar != 1 and meta.spp > 1:
-        raise NotImplementedError(
-            "region read: chunky (planar=1) or single-band only")
+    the strips/tiles overlapping the region.  Chunky (planar=1) blocks
+    carry all samples interleaved; separate-plane (planar=2, the Landsat
+    archive layout) blocks are single-sample in plane-major file order
+    (every block of band 0, then band 1, …) — the region fetch walks the
+    same window once per band with the per-plane index offset."""
     spp = meta.spp
+    planar2 = meta.planar != 1 and spp > 1
+    bspp = 1 if planar2 else spp
+    bands = range(spp) if planar2 else (0,)
     out = np.empty((r1 - r0, c1 - c0, spp), dtype=meta.dtype)
     if meta.tile_w is not None:
         tw, th = meta.tile_w, meta.tile_h
         ntx = (meta.w + tw - 1) // tw
-        idxs = [ty * ntx + tx
-                for ty in range(r0 // th, (r1 - 1) // th + 1)
-                for tx in range(c0 // tw, (c1 - 1) // tw + 1)]
+        nty = (meta.h + th - 1) // th
+        per_plane = ntx * nty
+        tys = range(r0 // th, (r1 - 1) // th + 1)
+        txs = range(c0 // tw, (c1 - 1) // tw + 1)
+        idxs = [b * per_plane + ty * ntx + tx
+                for b in bands for ty in tys for tx in txs]
         raws = _fetch_blocks(rd, meta, idxs)
-        for ty in range(r0 // th, (r1 - 1) // th + 1):
-            for tx in range(c0 // tw, (c1 - 1) // tw + 1):
-                blk = _decode_block(meta, raws[ty * ntx + tx], th, tw, spp)
-                br, bc = ty * th, tx * tw
-                rr0, rr1 = max(r0, br), min(r1, br + th)
-                cc0, cc1 = max(c0, bc), min(c1, bc + tw)
-                out[rr0 - r0: rr1 - r0, cc0 - c0: cc1 - c0] = \
-                    blk[rr0 - br: rr1 - br, cc0 - bc: cc1 - bc]
+        for b in bands:
+            for ty in tys:
+                for tx in txs:
+                    blk = _decode_block(
+                        meta, raws[b * per_plane + ty * ntx + tx],
+                        th, tw, bspp)
+                    br, bc = ty * th, tx * tw
+                    rr0, rr1 = max(r0, br), min(r1, br + th)
+                    cc0, cc1 = max(c0, bc), min(c1, bc + tw)
+                    sub = blk[rr0 - br: rr1 - br, cc0 - bc: cc1 - bc]
+                    if planar2:
+                        out[rr0 - r0: rr1 - r0,
+                            cc0 - c0: cc1 - c0, b] = sub[..., 0]
+                    else:
+                        out[rr0 - r0: rr1 - r0, cc0 - c0: cc1 - c0] = sub
     else:
         rps = meta.rows_per_strip
+        per_plane = (meta.h + rps - 1) // rps
         strips = range(r0 // rps, (r1 - 1) // rps + 1)
-        raws = _fetch_blocks(rd, meta, strips)
-        for s in strips:
-            rows = min(rps, meta.h - s * rps)
-            blk = _decode_block(meta, raws[s], rows, meta.w, spp)
-            sr = s * rps
-            rr0, rr1 = max(r0, sr), min(r1, sr + rows)
-            out[rr0 - r0: rr1 - r0, :] = blk[rr0 - sr: rr1 - sr, c0:c1]
+        idxs = [b * per_plane + s for b in bands for s in strips]
+        raws = _fetch_blocks(rd, meta, idxs)
+        for b in bands:
+            for s in strips:
+                rows = min(rps, meta.h - s * rps)
+                blk = _decode_block(meta, raws[b * per_plane + s],
+                                    rows, meta.w, bspp)
+                sr = s * rps
+                rr0, rr1 = max(r0, sr), min(r1, sr + rows)
+                sub = blk[rr0 - sr: rr1 - sr, c0:c1]
+                if planar2:
+                    out[rr0 - r0: rr1 - r0, :, b] = sub[..., 0]
+                else:
+                    out[rr0 - r0: rr1 - r0, :] = sub
     return np.ascontiguousarray(np.moveaxis(out, -1, 0))
 
 
@@ -399,21 +541,7 @@ def read_tiff(path_or_bytes, level: int = 0) -> TiffImage:
             rd = _BytesReader(f.read())
     levels = _parse_meta(rd)
     meta = levels[level]
-    if meta.planar != 1 and meta.spp > 1 and meta.rows_per_strip is not None:
-        # plane-major strips (reference Landsat fixtures): decode each
-        # strip, concatenate in file order, reshape (C, Y, X)
-        buf = b"".join(
-            zlib.decompress(rd.read(o, c)) if meta.comp in (8, 32946)
-            else rd.read(o, c)
-            for o, c in zip(meta.offsets, meta.counts))
-        arr = np.frombuffer(buf, dtype=meta.dtype)
-        arr = arr[: meta.h * meta.w * meta.spp].reshape(
-            meta.spp, meta.h, meta.w)
-        if meta.predictor == 2:
-            arr = arr.cumsum(axis=2, dtype=meta.dtype)
-        arr = np.ascontiguousarray(arr)
-    else:
-        arr = _read_region(rd, meta, 0, 0, meta.h, meta.w)
+    arr = _read_region(rd, meta, 0, 0, meta.h, meta.w)
     return TiffImage(array=arr, transform=_level_transform(levels, level),
                      epsg=meta.epsg or levels[0].epsg,
                      nodata=meta.nodata if meta.nodata is not None
@@ -466,10 +594,12 @@ def read_tiff_window(path: str, row_off: int, col_off: int,
 
 
 def _build_level(arr: np.ndarray, *, tile, comp_code: int, predictor: int,
-                 transform, epsg, nodata, subfile_type: int, big: bool):
+                 transform, epsg, nodata, subfile_type: int, big: bool,
+                 planar: int = 1):
     """→ (entries [(tag, type, values|bytes)], blocks [bytes]).  Offsets
     for tags 273/324 are placeholders (index tuples) resolved by the
-    serializer once the global layout is known."""
+    serializer once the global layout is known.  ``planar=2`` writes
+    separate plane-major single-sample blocks (tag 284=2)."""
     c, h, w = arr.shape
     dt = arr.dtype
     sf = {"u": 1, "i": 2, "f": 3}[dt.kind]
@@ -482,23 +612,31 @@ def _build_level(arr: np.ndarray, *, tile, comp_code: int, predictor: int,
             d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
             block = d
         raw = np.ascontiguousarray(block).tobytes()
-        return zlib.compress(raw, 6) if comp_code == 8 else raw
+        if comp_code == 8:
+            return zlib.compress(raw, 6)
+        if comp_code == 5:
+            return _lzw_encode(raw)
+        return raw
 
+    planes = [chunky] if planar == 1 or c == 1 \
+        else [chunky[..., b: b + 1] for b in range(c)]
     blocks: list[bytes] = []
-    if tile is not None:
-        th, tw = tile
-        if th % 16 or tw % 16:
-            raise ValueError("TIFF tile dims must be multiples of 16")
-        nty, ntx = -(-h // th), -(-w // tw)
-        for ty in range(nty):
-            for tx in range(ntx):
-                t = np.zeros((th, tw, c), dtype=dt)
-                sub = chunky[ty * th: min(h, (ty + 1) * th),
+    for pl in planes:
+        ns = pl.shape[-1]
+        if tile is not None:
+            th, tw = tile
+            if th % 16 or tw % 16:
+                raise ValueError("TIFF tile dims must be multiples of 16")
+            nty, ntx = -(-h // th), -(-w // tw)
+            for ty in range(nty):
+                for tx in range(ntx):
+                    t = np.zeros((th, tw, ns), dtype=dt)
+                    sub = pl[ty * th: min(h, (ty + 1) * th),
                              tx * tw: min(w, (tx + 1) * tw)]
-                t[: sub.shape[0], : sub.shape[1]] = sub
-                blocks.append(encode(t))
-    else:
-        blocks.append(encode(chunky))
+                    t[: sub.shape[0], : sub.shape[1]] = sub
+                    blocks.append(encode(t))
+        else:
+            blocks.append(encode(pl))
 
     off_typ = 16 if big else 4  # LONG8 in BigTIFF
     entries: list[tuple[int, int, object]] = []
@@ -514,7 +652,7 @@ def _build_level(arr: np.ndarray, *, tile, comp_code: int, predictor: int,
     E(259, 3, (comp_code,))
     E(262, 3, (1,))
     E(277, 3, (c,))
-    E(284, 3, (1,))
+    E(284, 3, (planar if c > 1 else 1,))
     if predictor != 1:
         E(317, 3, (predictor,))
     E(339, 3, (sf,) * c)
@@ -561,7 +699,7 @@ def write_tiff(path: str, array: np.ndarray, *,
                tile: tuple[int, int] | None = None,
                compress: str | None = None, predictor: int = 1,
                overviews: list[int] | None = None,
-               bigtiff: bool = False) -> None:
+               bigtiff: bool = False, planar: int = 1) -> None:
     """Write a (C, Y, X) or (Y, X) array as a little-endian chunky
     TIFF/BigTIFF.
 
@@ -569,7 +707,10 @@ def write_tiff(path: str, array: np.ndarray, *,
     reference fixtures).  ``tile=(th, tw)`` writes a tiled layout (tags
     322-325, dims must be multiples of 16 per the TIFF spec, edge tiles
     zero-padded); ``compress='deflate'`` zlib-compresses each block (tag
-    259=8); ``predictor=2`` applies horizontal differencing (tag 317,
+    259=8) and ``compress='lzw'`` uses TIFF LZW with early change (tag
+    259=5); ``planar=2`` writes separate plane-major single-sample
+    blocks (tag 284=2, the Landsat archive layout);
+    ``predictor=2`` applies horizontal differencing (tag 317,
     integer dtypes only); ``overviews=[2, 4, ...]`` appends
     reduced-resolution IFDs (nearest-neighbor decimation, NewSubfileType
     =1, georef derived from level 0 by readers) — together, the standard
@@ -583,11 +724,14 @@ def write_tiff(path: str, array: np.ndarray, *,
     arr = np.asarray(array)
     if arr.dtype.byteorder == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
-    comp_code = {None: 1, "none": 1, "deflate": 8, "zlib": 8}[compress]
+    comp_code = {None: 1, "none": 1, "deflate": 8, "zlib": 8,
+                 "lzw": 5}[compress]
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor={predictor}")
     if predictor == 2 and arr.dtype.kind == "f":
         raise ValueError("predictor=2 is integer-only (3 is the float one)")
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported planar={planar}")
 
     pyramid = [arr]
     for fct in overviews or []:
@@ -600,7 +744,7 @@ def write_tiff(path: str, array: np.ndarray, *,
             transform=transform if li == 0 else None,
             epsg=epsg if li == 0 else None,
             nodata=nodata if li == 0 else None,
-            subfile_type=0 if li == 0 else 1, big=bigtiff))
+            subfile_type=0 if li == 0 else 1, big=bigtiff, planar=planar))
 
     # ---- layout: header | all pixel blocks | IFD0+OOL0 | IFD1+OOL1 | ...
     bo = "<"
