@@ -1048,10 +1048,19 @@ _WEBMERC_R = 6378137.0
 _WEBMERC_MAX_LAT = 85.05112877980659  # atan(sinh(pi)) — the square bound
 
 
-def wgs84_to_webmercator(lon, lat):
-    """lon/lat degrees → EPSG 3857 meters (vectorized)."""
+def wgs84_to_webmercator(lon, lat, clamp: bool = False):
+    """lon/lat degrees → EPSG 3857 meters (vectorized).
+
+    Domain is |lat| < 90 (proj/GDAL semantics: no clamping, |lat| ≥ 90
+    maps to ±inf and latitudes past ±85.05113° land outside the square
+    tile bound).  ``clamp=True`` opts into the web-map-library behavior
+    (Google/Leaflet): latitudes clipped to ±_WEBMERC_MAX_LAT so y stays
+    within ±πR — use it when feeding a slippy-tile pyramid, where an inf
+    would otherwise propagate into tile indices."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
+    if clamp:
+        lat = np.clip(lat, -_WEBMERC_MAX_LAT, _WEBMERC_MAX_LAT)
     x = _WEBMERC_R * np.radians(lon)
     y = _WEBMERC_R * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
     return x, y
@@ -1066,10 +1075,37 @@ def webmercator_to_wgs84(x, y):
     return lon, lat
 
 
+# pyproj transformer cache: {(epsg, to_wgs84?): Transformer}.  pyproj is
+# OPTIONAL (absent in this sandbox) — the closed-form 4326/UTM/3857 fast
+# paths above never touch it; any other EPSG defers to pyproj when
+# installed (same import-gate pattern as the PIL-gated image decodes) and
+# raises the documented NotImplementedError otherwise.
+_PYPROJ_CACHE: dict = {}
+
+
+def _pyproj_transform(epsg: int, x, y, *, inverse: bool):
+    try:
+        from pyproj import Transformer
+    except ImportError:
+        return None
+    key = (epsg, inverse)
+    tr = _PYPROJ_CACHE.get(key)
+    if tr is None:
+        if inverse:  # epsg → lon/lat
+            tr = Transformer.from_crs(epsg, 4326, always_xy=True)
+        else:        # lon/lat → epsg
+            tr = Transformer.from_crs(4326, epsg, always_xy=True)
+        _PYPROJ_CACHE[key] = tr
+    a, b = tr.transform(np.asarray(x, dtype=np.float64),
+                        np.asarray(y, dtype=np.float64))
+    return np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+
+
 def to_wgs84(x, y, epsg: int):
-    """(x, y) in ``epsg`` → (lon, lat).  Supported: 4326 (identity), 3857
-    (exact spherical), WGS84 UTM zones 326xx/327xx (Krüger).  Anything
-    else needs pyproj on a real cluster (documented gap)."""
+    """(x, y) in ``epsg`` → (lon, lat).  Closed-form pure NumPy for 4326
+    (identity), 3857 (exact spherical) and WGS84 UTM zones 326xx/327xx
+    (Krüger); any other EPSG (state-plane, LAEA, …) dispatches to pyproj
+    when it is installed on the cluster."""
     if epsg == 4326:
         return (np.asarray(x, dtype=np.float64),
                 np.asarray(y, dtype=np.float64))
@@ -1077,6 +1113,9 @@ def to_wgs84(x, y, epsg: int):
         return webmercator_to_wgs84(x, y)
     if 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760:
         return utm_to_wgs84(x, y, epsg)
+    out = _pyproj_transform(epsg, x, y, inverse=True)
+    if out is not None:
+        return out
     raise NotImplementedError(
         f"CRS {epsg}: only 4326, 3857 and WGS84 UTM are pure-NumPy here; "
         "install pyproj on the cluster for arbitrary CRS")
@@ -1091,6 +1130,9 @@ def from_wgs84(lon, lat, epsg: int):
         return wgs84_to_webmercator(lon, lat)
     if 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760:
         return wgs84_to_utm(lon, lat, epsg)
+    out = _pyproj_transform(epsg, lon, lat, inverse=False)
+    if out is not None:
+        return out
     raise NotImplementedError(
         f"CRS {epsg}: only 4326, 3857 and WGS84 UTM are pure-NumPy here; "
         "install pyproj on the cluster for arbitrary CRS")

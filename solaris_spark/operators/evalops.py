@@ -350,13 +350,15 @@ def class_scores(class_ious: DataFrame, threshold: float = 0.5) -> DataFrame:
                / (F.col("precision") + F.col("recall"))).otherwise(F.lit(0.0)))
 
 
-def mean_average_precision(class_ious: DataFrame,
-                           threshold: float = 0.5) -> dict:
-    """Interpolated per-class AP + mAP (eval/vector.py:469-513 exactly):
+def average_precision_by_class(class_ious: DataFrame,
+                               threshold: float = 0.5) -> DataFrame:
+    """Interpolated per-class AP (eval/vector.py:469-513 exactly):
     precision-side ious sorted desc by (conf, iou), cumulative TP/FP,
     recall denominator = the class's gt count (recall-side rows), max
     precision at 101 recall thresholds, averaged.  Window + crossJoin —
-    relational all the way; returns {'mAP': float, 'ap_by_class': {...}}."""
+    relational all the way; returns a (class, ap) DataFrame, so AP
+    composes downstream (joins, rollups, sinks) without leaving Spark.
+    ``mean_average_precision`` is the driver-side dict convenience."""
     spark = class_ious.sparkSession
     prec = class_ious.filter(F.col("side") == "precision")
     ngt = (class_ious.filter(F.col("side") == "recall")
@@ -376,10 +378,18 @@ def mean_average_precision(class_ious: DataFrame,
               .groupBy("class", "rt").agg(F.max("precision").alias("pmax")))
     # classes × thresholds with 0 fill for unreachable recalls
     all_rt = ngt.select("class").crossJoin(F.broadcast(thresholds))
-    ap = (all_rt.join(interp, ["class", "rt"], "left")
-          .na.fill(0.0, ["pmax"])
-          .groupBy("class").agg(F.avg("pmax").alias("ap")))
-    rows = ap.collect()
+    return (all_rt.join(interp, ["class", "rt"], "left")
+            .na.fill(0.0, ["pmax"])
+            .groupBy("class").agg(F.avg("pmax").alias("ap")))
+
+
+def mean_average_precision(class_ious: DataFrame,
+                           threshold: float = 0.5) -> dict:
+    """Driver-side convenience over ``average_precision_by_class``:
+    collects the bounded (≤ #classes) AP frame and returns
+    {'mAP': float, 'ap_by_class': {...}} (the reference's mAP dict,
+    eval/vector.py:469-513)."""
+    rows = average_precision_by_class(class_ious, threshold).collect()
     ap_by_class = {r["class"]: r["ap"] for r in rows}
     return {"mAP": float(np.mean(list(ap_by_class.values()))) if ap_by_class else 0.0,
             "ap_by_class": ap_by_class}

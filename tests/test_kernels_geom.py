@@ -327,3 +327,48 @@ class TestWebMercator:
         ok = ~np.isnan(out[0])
         assert ok.mean() > 0.95
         assert np.abs(out[0][ok] - exp[ok]).max() < 1e-9
+
+
+class TestWebMercatorClampAndPyprojGate:
+    def test_default_matches_proj_no_clamp(self):
+        """proj/GDAL semantics by default: no clamping — lat beyond the
+        square bound keeps growing without limit (at the pole, float64
+        tan(π/2) explodes to ~1.6e16 → y ~37R)."""
+        _, y_bound = G.wgs84_to_webmercator(0.0, G._WEBMERC_MAX_LAT)
+        _, y_88 = G.wgs84_to_webmercator(0.0, 88.0)
+        assert y_88 > y_bound
+        _, y_pole = G.wgs84_to_webmercator(0.0, 90.0)
+        assert y_pole > 10 * y_bound
+
+    def test_clamp_opt_in_bounds_y(self):
+        """clamp=True (web-map-library behavior) pins y to the ±πR square
+        for any latitude, including the poles."""
+        _, y_bound = G.wgs84_to_webmercator(0.0, G._WEBMERC_MAX_LAT)
+        for lat in (86.0, 90.0, 89.999):
+            _, y = G.wgs84_to_webmercator(0.0, lat, clamp=True)
+            assert np.isclose(y, y_bound)
+            assert np.isclose(abs(y), np.pi * G._WEBMERC_R, rtol=1e-12)
+        _, y = G.wgs84_to_webmercator(0.0, -90.0, clamp=True)
+        assert np.isclose(y, -y_bound)
+        # in-domain values are untouched by the clamp
+        _, a = G.wgs84_to_webmercator(12.0, 48.0)
+        _, b = G.wgs84_to_webmercator(12.0, 48.0, clamp=True)
+        assert a == b
+
+    def test_unsupported_crs_raises_without_pyproj(self):
+        try:
+            import pyproj  # noqa: F401
+            pytest.skip("pyproj installed: NotImplementedError branch n/a")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError, match="pyproj"):
+            G.to_wgs84(0.0, 0.0, 2263)  # NY state plane
+
+    def test_pyproj_gate_roundtrip(self):
+        """With pyproj present, any EPSG resolves (state-plane here);
+        skipped in-sandbox where pyproj is absent."""
+        pytest.importorskip("pyproj")
+        lon, lat = -74.0060, 40.7128
+        x, y = G.from_wgs84(lon, lat, 2263)
+        lon2, lat2 = G.to_wgs84(x, y, 2263)
+        assert abs(lon2 - lon) < 1e-6 and abs(lat2 - lat) < 1e-6

@@ -50,6 +50,16 @@ class TestMapVector:
         res = evalops.mean_average_precision(class_ious)
         assert round(res["mAP"], 2) == 0.85
 
+    def test_ap_by_class_dataframe_shape(self, spark, class_ious):
+        """The primary AP output is a (class, ap) DataFrame — the dict is
+        a driver-side wrapper over it, and both agree."""
+        ap = evalops.average_precision_by_class(class_ious)
+        assert ap.columns == ["class", "ap"]
+        rows = {r["class"]: r["ap"] for r in ap.collect()}
+        res = evalops.mean_average_precision(class_ious)
+        assert rows == res["ap_by_class"]
+        assert round(float(np.mean(list(rows.values()))), 2) == 0.85
+
     def test_class_scores_sane(self, spark, class_ious):
         cs = evalops.class_scores(class_ious).collect()
         assert len(cs) >= 3
