@@ -882,6 +882,39 @@ def g_lzw_tiles(spark, sf_dir):
             .orderBy("tile_id"))
 
 
+def g_jpeg_features(spark, sf_dir):
+    """Feature extraction over JPEG-encoded images — the pure-Python
+    baseline codec (functions/jpeg.py: huffman + IDCT, 4:2:0/4:4:4,
+    restart markers) decoding inside the same mapInPandas pipeline as
+    raw blobs.  Deterministic seeded smooth content, encoded at varied
+    quality/subsampling/restart settings; decoded features pinned as a
+    VALUES oracle (spec-vector + round-trip correctness in
+    tests/test_jpeg.py)."""
+    import numpy as np
+
+    from solaris_spark.functions.jpeg import encode_jpeg
+    from solaris_spark.operators import multimodal
+    rows = []
+    for i in range(8):
+        yy, xx = np.mgrid[0:48, 0:64]
+        chans = 1 if i % 4 == 0 else 3
+        arr = np.stack([
+            (100 + 50 * np.sin(yy / (10 + i) + c)
+             + 40 * np.cos(xx / (9 + i) - c)).clip(0, 255)
+            for c in range(chans)]).astype(np.uint8)
+        enc = encode_jpeg(arr, quality=(70, 85, 95, 100)[i % 4],
+                          subsample=(i % 2 == 0) and chans == 3,
+                          restart_interval=(0, 0, 2, 4)[i % 4])
+        rows.append((f"jpg_{i}", bytearray(enc), 64, 48, "jpeg"))
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    feats = multimodal.image_features(images)
+    return feats.select("image_id",
+                        F.round(F.col("mean")[0], 4).alias("mean_c0"),
+                        F.round("edge_density", 4).alias("edge_density"),
+                        "phash").orderBy("image_id")
+
+
 def g_png_features(spark, sf_dir):
     """Feature extraction over PNG-encoded images — the pure-Python codec
     (functions/png.py) decoding inside the same mapInPandas pipeline as
@@ -1394,6 +1427,25 @@ SELECT * FROM (VALUES
   ('lzw_733857_3725017', CAST(2 AS INTEGER), CAST(0 AS INTEGER), '36c94112d43d2e0ee0377bbfb5ec9861', CAST(0.5 AS DOUBLE)),
   ('lzw_733857_3725145', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '948829623ccc13282a18fad25ec8647b', CAST(0.523438 AS DOUBLE))
 ) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
+"""
+
+
+# Pinned output of g_jpeg_features: the pure-Python baseline JPEG codec
+# decoding inside image_features (deterministic seeded smooth content at
+# varied quality / subsampling / restart-interval settings; codec
+# correctness anchored by hand-built T.81 spec vectors + round-trip
+# envelopes in tests/test_jpeg.py).
+SQL_JPEG_FEATURES = """
+SELECT * FROM (VALUES
+  ('jpg_0', CAST(113.681 AS DOUBLE), CAST(5.8687 AS DOUBLE), CAST(3859352175556444755 AS BIGINT)),
+  ('jpg_1', CAST(115.9447 AS DOUBLE), CAST(5.5359 AS DOUBLE), CAST(6984259944405783595 AS BIGINT)),
+  ('jpg_2', CAST(117.4492 AS DOUBLE), CAST(5.7648 AS DOUBLE), CAST(7704579354108451151 AS BIGINT)),
+  ('jpg_3', CAST(118.8431 AS DOUBLE), CAST(4.6747 AS DOUBLE), CAST(7689383348565335148 AS BIGINT)),
+  ('jpg_4', CAST(120.4954 AS DOUBLE), CAST(4.3803 AS DOUBLE), CAST(7686617978039575381 AS BIGINT)),
+  ('jpg_5', CAST(122.4665 AS DOUBLE), CAST(4.122 AS DOUBLE), CAST(4681867072789492815 AS BIGINT)),
+  ('jpg_6', CAST(124.6341 AS DOUBLE), CAST(4.2826 AS DOUBLE), CAST(4660447731860771565 AS BIGINT)),
+  ('jpg_7', CAST(126.8141 AS DOUBLE), CAST(3.5935 AS DOUBLE), CAST(4683500110718639066 AS BIGINT))
+) AS t(image_id, mean_c0, edge_density, phash)
 """
 
 
@@ -2057,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_stats": g_resize_stats,
         "webmerc_project": g_webmerc_project,
         "png_features": g_png_features,
+        "jpeg_features": g_jpeg_features,
         "frame_sample": g_frame_sample,
         "audio_features": g_audio_features,
         "scot_tracking": g_scot,
@@ -2116,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
         "resize_stats": SQL_RESIZE_STATS,
         "webmerc_project": SQL_WEBMERC,
         "png_features": SQL_PNG_FEATURES,
+        "jpeg_features": SQL_JPEG_FEATURES,
         "frame_sample": _sql_frame_sample(),
         "audio_features": SQL_AUDIO_FEATURES,
         "scot_tracking": SQL_SCOT_TRACKING,

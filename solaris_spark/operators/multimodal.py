@@ -3,10 +3,11 @@ with decode / feature-extract / resize / frame-sample as mapInPandas
 operators.
 
 The Spark-side plumbing (schemas, batch shapes, partitioning) is real and
-tested; the codec calls themselves are import-gated: raw formats decode
-in-sandbox, PNG/JPEG/audio/video codecs raise NotImplementedError (or use
-the deterministic fake) until the corresponding library is present —
-exactly where `pillow`/`soundfile`/`av` would slot in on a real cluster.
+tested; codecs: raw formats, PNG (functions/png.py) and baseline JPEG
+(functions/jpeg.py) decode natively in-sandbox; WebP / progressive JPEG /
+audio / video codecs raise NotImplementedError (or use the deterministic
+fake) until the corresponding library is present — exactly where
+`pillow`/`soundfile`/`av` would slot in on a real cluster.
 """
 
 from __future__ import annotations
@@ -27,14 +28,19 @@ from .tiling import decode_image as _decode_raw_image
 
 
 def decode_image_any(fmt: str, buf: bytes, w: int, h: int) -> np.ndarray:
-    """(C, Y, X) pixels.  raw-* formats and PNG are native (pure-Python
-    codec, functions/png.py); JPEG/WebP need a real codec stack."""
+    """(C, Y, X) pixels.  raw-* formats, PNG and baseline JPEG are native
+    (pure-Python codecs, functions/png.py and functions/jpeg.py —
+    progressive JPEG raises and stays gated); WebP needs a real codec
+    stack."""
     if fmt.startswith("raw-"):
         return _decode_raw_image(fmt, buf, w, h)
     if fmt == "png":
         from ..functions.png import decode_png
         return decode_png(bytes(buf))
-    if fmt in ("jpeg", "jpg", "webp"):
+    if fmt in ("jpeg", "jpg"):
+        from ..functions.jpeg import decode_jpeg
+        return decode_jpeg(bytes(buf))
+    if fmt == "webp":
         try:
             from PIL import Image  # noqa: F401  (absent in sandbox)
         except ImportError as e:
@@ -136,6 +142,9 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 if r.fmt == "png":
                     from ..functions.png import encode_png
                     payload, fmt = encode_png(res), "png"
+                elif r.fmt in ("jpeg", "jpg"):
+                    from ..functions.jpeg import encode_jpeg
+                    payload, fmt = encode_jpeg(res, quality=90), r.fmt
                 elif r.fmt.startswith("raw-"):
                     payload = res.tobytes()
                     fmt = r.fmt.rsplit("-", 1)[0] + f"-c{C}"
@@ -220,6 +229,9 @@ def crop_images(images: DataFrame, bounds, mode: str = "pixel") -> DataFrame:
                     # keep the fmt tag honest: png in → png bytes out
                     from ..functions.png import encode_png
                     payload = encode_png(win)
+                elif r.fmt in ("jpeg", "jpg"):
+                    from ..functions.jpeg import encode_jpeg
+                    payload = encode_jpeg(win, quality=90)
                 else:
                     payload = win.tobytes()
                 rec = dict(image_id=r.image_id, bytes=payload,
