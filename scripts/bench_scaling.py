@@ -49,13 +49,25 @@ def run_at(cores: int) -> dict:
                                 max_labels=MAX_LABELS).persist()
     labels.count()
 
+    # scheduling/shuffle fixed floor at THIS parallelism: a no-op
+    # Arrow-UDF job with the same task count — the stage cost that does
+    # NOT shrink with more cores (what caps small-input efficiency)
+    import pandas as _pd
+    t0 = time.time()
+    spark.range(cores * 4).repartition(cores * 4) \
+        .mapInPandas(lambda it: (pdf for pdf in it), "id long").count()
+    floor_sec = time.time() - t0
+
     t0 = time.time()
     tiles = tiling.raster_tiles(ig, (90, 90))
     n_tiles = tiles.count()
+    wall_tiles = time.time() - t0
+    t1 = time.time()
     mk = masks.image_masks(labels, ig,
                            channels=["footprint", "boundary", "contact"],
                            num_partitions=cores * 4)
     n_masks = mk.count()
+    wall_masks = time.time() - t1
     wall = time.time() - t0
 
     # job B: greedy IoU matching join (compute-bound: polygon clipping on
@@ -81,6 +93,9 @@ def run_at(cores: int) -> dict:
     wall_join = time.time() - t0
 
     out = {"cores": cores, "wall_sec": round(wall, 2),
+           "wall_tiles_sec": round(wall_tiles, 2),
+           "wall_masks_sec": round(wall_masks, 2),
+           "sched_floor_sec": round(floor_sec, 2),
            "n_images": n_img, "n_tiles": n_tiles,
            "n_masks": n_masks,
            "tiles_masks_per_sec": round((n_tiles + 3 * n_masks) / wall, 2),
@@ -149,8 +164,10 @@ def _best(runs):
     best = dict(runs[0])
     for r in runs[1:]:
         if r["tiles_masks_per_sec"] > best["tiles_masks_per_sec"]:
-            best["wall_sec"] = r["wall_sec"]
-            best["tiles_masks_per_sec"] = r["tiles_masks_per_sec"]
+            for k in ("wall_sec", "tiles_masks_per_sec", "wall_tiles_sec",
+                      "wall_masks_sec", "sched_floor_sec"):
+                if k in r:
+                    best[k] = r[k]
         if r["join_rows_per_sec"] > best["join_rows_per_sec"]:
             best["join_wall_sec"] = r["join_wall_sec"]
             best["join_rows_per_sec"] = r["join_rows_per_sec"]

@@ -240,6 +240,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     n = len(buf)
     planes = None
     while i < n:
+        if i + 2 > n:
+            raise ValueError("truncated JPEG stream")
         if buf[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
         m = buf[i + 1]
@@ -248,6 +250,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
+        if i + 4 > n:
+            raise ValueError("truncated JPEG stream")
         ln = struct.unpack(">H", buf[i + 2: i + 4])[0]
         seg = buf[i + 4: i + 2 + ln]
         if m == 0xDB:  # DQT

@@ -246,12 +246,15 @@ class TestMultimodal:
                 multimodal.crop_images(images, [0, 1, 1, 0], mode=bad)
 
     def test_unknown_codec_raises(self):
-        # png is now a native capability (functions/png.py): truncated
-        # bytes are a data error, not a missing codec
+        # png and baseline jpeg are native capabilities (functions/png.py,
+        # functions/jpeg.py): truncated bytes are a data error, not a
+        # missing codec; webp/tga stay gated
         with pytest.raises(ValueError):
             multimodal.decode_image_any("png", b"\x89PNG", 4, 4)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             multimodal.decode_image_any("jpeg", b"\xff\xd8\xff", 4, 4)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_any("webp", b"RIFF", 4, 4)
         with pytest.raises(NotImplementedError):
             multimodal.decode_image_any("tga", b"", 4, 4)
 
