@@ -687,6 +687,32 @@ def g_masks(spark, sf_dir):
                      set_px("mask").alias("set_pixels")).orderBy("image_id")
 
 
+def g_warp_resample(spark, sf_dir):
+    """CRS-warped tiling (UTM 32616 → EPSG 4326) of the reference fixture
+    GeoTIFF at three resampling kernels — nearest / bilinear / cubic (Keys
+    a=-0.5, GDAL GRA_Cubic); the reference exposes the same choices through
+    rasterio (solaris/utils/geo.py:63-66 `['cubic','bilinear','nearest',
+    'average']`, tile/raster_tile.py:94-97).  md5 per warped tile payload
+    pins the distributed result (VALUES oracle); kernel correctness is
+    anchored independently in tests/test_kernels_raster.py
+    (quadratic-field third-order exactness, naive per-pixel 4x4 parity,
+    dtype overshoot clamping)."""
+    from solaris_spark.operators import tiling
+    from solaris_spark.sources import synth
+    images = synth.fixture_image_df(spark)
+    geo = synth.image_geo_table(spark, images)
+    ig = tiling.with_geo(images, geo)
+    outs = []
+    for method in ("bilinear", "cubic", "nearest"):
+        t = tiling.raster_tiles_warped(
+            ig, (64, 64), dest_epsg=4326, dest_res=(6e-5, 6e-5),
+            nodata_threshold=0.99, resampling=method)
+        outs.append(t.select(F.lit(method).alias("method"), "tx", "ty",
+                             F.md5(F.col("pixels")).alias("tile_md5")))
+    return outs[0].unionByName(outs[1]).unionByName(outs[2]) \
+        .orderBy("method", "tx", "ty")
+
+
 def g_knn_spatial(spark, sf_dir):
     import numpy as np
 
@@ -1430,6 +1456,29 @@ SELECT * FROM (VALUES
 """
 
 
+# Pinned output of g_warp_resample: UTM→4326 warped tiling of the
+# reference fixture at nearest/bilinear/cubic resampling (VALUES oracle;
+# kernels verified independently in tests/test_kernels_raster.py —
+# quadratic-field exactness for the Keys a=-0.5 cubic, naive 4x4 parity,
+# byte-identical nearest on sub-half-pixel shifts).
+SQL_WARP_RESAMPLE = """
+SELECT * FROM (VALUES
+  ('bilinear', CAST(0 AS INTEGER), CAST(0 AS INTEGER), 'b389c53bd3121da826ede659c006e20b'),
+  ('bilinear', CAST(0 AS INTEGER), CAST(1 AS INTEGER), 'ba41b507078ea903beda71a895b5b89d'),
+  ('bilinear', CAST(1 AS INTEGER), CAST(0 AS INTEGER), '449ccf11a06875fb3ece4bbf84aebb29'),
+  ('bilinear', CAST(1 AS INTEGER), CAST(1 AS INTEGER), 'e81c37ef0e82e14fec7f7b6449560ded'),
+  ('cubic', CAST(0 AS INTEGER), CAST(0 AS INTEGER), 'f492a804b21540d3d8ac0518bb01eb1e'),
+  ('cubic', CAST(0 AS INTEGER), CAST(1 AS INTEGER), '899fd85ede8c83dc11807d9c48b3db7e'),
+  ('cubic', CAST(1 AS INTEGER), CAST(0 AS INTEGER), '1eb3688a6e405b20ab601015ef4fda27'),
+  ('cubic', CAST(1 AS INTEGER), CAST(1 AS INTEGER), 'e2d63181780511a387bbe0ee2d2948b5'),
+  ('nearest', CAST(0 AS INTEGER), CAST(0 AS INTEGER), 'bf058a713dcaaf0465dc293a9e3fa5f1'),
+  ('nearest', CAST(0 AS INTEGER), CAST(1 AS INTEGER), '14714da754bd9fd301b4326b6a559154'),
+  ('nearest', CAST(1 AS INTEGER), CAST(0 AS INTEGER), '54266f261bd4fe900953bb7b1c1828e3'),
+  ('nearest', CAST(1 AS INTEGER), CAST(1 AS INTEGER), 'c9a2e23311a50eeb190c1992b51b97a1')
+) AS t(method, tx, ty, tile_md5)
+"""
+
+
 # Pinned output of g_jpeg_features: the pure-Python baseline JPEG codec
 # decoding inside image_features (deterministic seeded smooth content at
 # varied quality / subsampling / restart-interval settings; codec
@@ -2110,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webmerc_project": g_webmerc_project,
         "png_features": g_png_features,
         "jpeg_features": g_jpeg_features,
+        "warp_resample": g_warp_resample,
         "frame_sample": g_frame_sample,
         "audio_features": g_audio_features,
         "scot_tracking": g_scot,
@@ -2170,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "webmerc_project": SQL_WEBMERC,
         "png_features": SQL_PNG_FEATURES,
         "jpeg_features": SQL_JPEG_FEATURES,
+        "warp_resample": SQL_WARP_RESAMPLE,
         "frame_sample": _sql_frame_sample(),
         "audio_features": SQL_AUDIO_FEATURES,
         "scot_tracking": SQL_SCOT_TRACKING,

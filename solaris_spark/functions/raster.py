@@ -329,16 +329,45 @@ def cut_window(src: np.ndarray, transform, bounds, tile_hw: tuple[int, int],
     return tile, tile_transform
 
 
-def warp_bilinear(src: np.ndarray, src_transform, src_epsg: int,
-                  dst_transform, dst_epsg: int, out_shape: tuple[int, int],
-                  nodata: float = 0.0) -> np.ndarray:
-    """Inverse-mapping bilinear reprojection (rasterio.warp.reproject's
-    default resampling — solaris/tile/raster_tile.py:350-387 path for
-    dest_crs ≠ src_crs).  For each dest pixel center: dest geo → src CRS
-    (4326/3857/UTM closed forms, geom.to_wgs84/from_wgs84) → src pixel
-    coords → bilinear sample; samples outside the source get `nodata`."""
+def _cubic_kernel(t: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys cubic-convolution kernel with a=-0.5 — the kernel GDAL's
+    `Resampling.cubic` uses (gdalwarp GRA_Cubic; Keys 1981 eq. 15)."""
+    u = np.abs(t)
+    u2 = u * u
+    u3 = u2 * u
+    near = (a + 2.0) * u3 - (a + 3.0) * u2 + 1.0
+    far = a * (u3 - 5.0 * u2 + 8.0 * u - 4.0)
+    return np.where(u <= 1.0, near, np.where(u < 2.0, far, 0.0))
+
+
+def warp(src: np.ndarray, src_transform, src_epsg: int,
+         dst_transform, dst_epsg: int, out_shape: tuple[int, int],
+         nodata: float = 0.0, resampling: str = "bilinear") -> np.ndarray:
+    """Inverse-mapping reprojection (rasterio.warp.reproject —
+    solaris/tile/raster_tile.py:350-387 path for dest_crs ≠ src_crs;
+    solaris/utils/geo.py:26-66 `reproject(resampling_method=...)` exposes
+    ['cubic' (default there), 'bilinear', 'nearest', 'average']).
+
+    For each dest pixel center: dest geo → src CRS (4326/3857/UTM closed
+    forms or pyproj when present, geom.to_wgs84/from_wgs84) → src pixel
+    coords → sample.  Resampling methods:
+
+    - ``nearest``  : floor(p + 0.5) pick; valid while the center lands
+      inside the source extent.
+    - ``bilinear`` : 2×2 weighted; valid while the center is inside the
+      source pixel-center hull [0, W-1]×[0, H-1].
+    - ``cubic``    : 4×4 Keys cubic convolution (a=-0.5, GDAL GRA_Cubic);
+      same validity hull as bilinear, kernel support edge-replicated, and
+      integer outputs clamped to the dtype range (cubic overshoots).
+
+    Dest pixels outside the validity region get `nodata`."""
     from . import geom as G
 
+    if resampling not in ("nearest", "bilinear", "cubic"):
+        raise NotImplementedError(
+            f"resampling={resampling!r}: supported here are 'nearest', "
+            "'bilinear', 'cubic' (use resize_average for axis-aligned "
+            "area-average decimation)")
     C, H, W = src.shape
     oh, ow = out_shape
     cols, rows = np.meshgrid(np.arange(ow) + 0.5, np.arange(oh) + 0.5)
@@ -352,22 +381,83 @@ def warp_bilinear(src: np.ndarray, src_transform, src_epsg: int,
     ia, ib, ic, id_, ie, if_ = G.affine_invert(src_transform)
     px = ia * gx + ib * gy + ic - 0.5   # src pixel-center coords
     py = id_ * gx + ie * gy + if_ - 0.5
+    out = np.full((C, oh, ow), nodata, dtype=np.float64)
+
+    if resampling == "nearest":
+        xi = np.floor(px + 0.5).astype(np.int64)
+        yi = np.floor(py + 0.5).astype(np.int64)
+        valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        xic = np.clip(xi, 0, W - 1)
+        yic = np.clip(yi, 0, H - 1)
+        for ch in range(C):
+            out[ch] = np.where(valid, src[ch][yic, xic], nodata)
+        return out.astype(src.dtype)
+
     x0 = np.floor(px).astype(np.int64)
     y0 = np.floor(py).astype(np.int64)
     fx = px - x0
     fy = py - y0
     valid = (x0 >= 0) & (x0 + 1 <= W - 1) & (y0 >= 0) & (y0 + 1 <= H - 1)
-    x0c = np.clip(x0, 0, W - 2)
-    y0c = np.clip(y0, 0, H - 2)
-    out = np.full((C, oh, ow), nodata, dtype=np.float64)
-    for ch in range(C):
-        p00 = src[ch][y0c, x0c]
-        p01 = src[ch][y0c, x0c + 1]
-        p10 = src[ch][y0c + 1, x0c]
-        p11 = src[ch][y0c + 1, x0c + 1]
-        val = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
-               + p10 * (1 - fx) * fy + p11 * fx * fy)
-        out[ch] = np.where(valid, val, nodata)
+
+    if resampling == "bilinear":
+        x0c = np.clip(x0, 0, W - 2)
+        y0c = np.clip(y0, 0, H - 2)
+        for ch in range(C):
+            p00 = src[ch][y0c, x0c]
+            p01 = src[ch][y0c, x0c + 1]
+            p10 = src[ch][y0c + 1, x0c]
+            p11 = src[ch][y0c + 1, x0c + 1]
+            val = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
+                   + p10 * (1 - fx) * fy + p11 * fx * fy)
+            out[ch] = np.where(valid, val, nodata)
+    else:  # cubic
+        # weight for the sample at x0+m is K(fx - m), m ∈ {-1, 0, 1, 2}
+        wx = [_cubic_kernel(fx - m) for m in (-1, 0, 1, 2)]
+        wy = [_cubic_kernel(fy - m) for m in (-1, 0, 1, 2)]
+        xs = [np.clip(x0 + m, 0, W - 1) for m in (-1, 0, 1, 2)]
+        ys = [np.clip(y0 + m, 0, H - 1) for m in (-1, 0, 1, 2)]
+        for ch in range(C):
+            acc = np.zeros((oh, ow), dtype=np.float64)
+            band = src[ch]
+            for my in range(4):
+                row_acc = np.zeros((oh, ow), dtype=np.float64)
+                for mx in range(4):
+                    row_acc += wx[mx] * band[ys[my], xs[mx]]
+                acc += wy[my] * row_acc
+            out[ch] = np.where(valid, acc, nodata)
+
+    if np.issubdtype(src.dtype, np.integer):
+        out = np.rint(out)
+        info = np.iinfo(src.dtype)
+        out = np.clip(out, info.min, info.max)
+    return out.astype(src.dtype)
+
+
+def warp_bilinear(src: np.ndarray, src_transform, src_epsg: int,
+                  dst_transform, dst_epsg: int, out_shape: tuple[int, int],
+                  nodata: float = 0.0) -> np.ndarray:
+    """Back-compat alias: `warp(..., resampling='bilinear')`."""
+    return warp(src, src_transform, src_epsg, dst_transform, dst_epsg,
+                out_shape, nodata=nodata, resampling="bilinear")
+
+
+def resize_average(src: np.ndarray, factor_y: int, factor_x: int) -> np.ndarray:
+    """Area-average decimation by integer factors (GDAL `Resampling.average`
+    for the axis-aligned downscale the reference's tiler uses when
+    dest_res is a multiple of src res — raster_tile.py:94-97).  Exact block
+    mean; trailing partial blocks average over the in-bounds pixels only.
+    General warps with `average` are not supported (honest guard — GDAL
+    area-weights arbitrary footprints there)."""
+    if factor_y < 1 or factor_x < 1:
+        raise ValueError("decimation factors must be >= 1")
+    C, H, W = src.shape
+    oh = -(-H // factor_y)
+    ow = -(-W // factor_x)
+    out = np.empty((C, oh, ow), dtype=np.float64)
+    padded = np.full((C, oh * factor_y, ow * factor_x), np.nan)
+    padded[:, :H, :W] = src
+    blocks = padded.reshape(C, oh, factor_y, ow, factor_x)
+    out = np.nanmean(blocks, axis=(2, 4))
     if np.issubdtype(src.dtype, np.integer):
         out = np.rint(out)
     return out.astype(src.dtype)

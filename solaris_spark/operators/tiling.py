@@ -279,10 +279,14 @@ def raster_tiles_windowed(manifest_geo: DataFrame, tile_size: tuple[int, int],
 
 def raster_tiles_warped(images_geo: DataFrame, tile_size: tuple[int, int],
                         dest_epsg: int, dest_res: tuple[float, float],
-                        nodata_threshold: float | None = None) -> DataFrame:
+                        nodata_threshold: float | None = None,
+                        resampling: str = "bilinear") -> DataFrame:
     """CRS-changing tiling (raster_tile.py:298-310 + :350-387): grid is laid
     out in the DEST CRS over the image's reprojected bounds; each tile is
-    produced by inverse-mapping bilinear warp (raster.warp_bilinear).
+    produced by inverse-mapping warp (raster.warp) with `resampling` in
+    {'nearest', 'bilinear', 'cubic'} — the reference's tiler forwards the
+    same choice to rasterio (raster_tile.py:94-97; utils/geo.py:63-66).
+    Default bilinear (the reference's tile-warp default path).
     Separate from raster_tiles so the identity-CRS fixture-parity path stays
     byte-exact."""
     ty_px, tx_px = tile_size
@@ -318,9 +322,9 @@ def raster_tiles_warped(images_geo: DataFrame, tile_size: tuple[int, int],
                 nod = row.nodata if row.nodata is not None and not pd.isna(row.nodata) else 0
                 for t in tb:
                     dst_t = (dest_res[0], 0.0, t[0], 0.0, -dest_res[1], t[3])
-                    tile = R.warp_bilinear(arr, src_t, src_epsg, dst_t,
-                                           dest_epsg, (ty_px, tx_px),
-                                           nodata=nod)
+                    tile = R.warp(arr, src_t, src_epsg, dst_t,
+                                  dest_epsg, (ty_px, tx_px),
+                                  nodata=nod, resampling=resampling)
                     nf = R.nodata_fraction(tile, nod)
                     if nodata_threshold is not None and nf >= nodata_threshold:
                         continue
