@@ -911,11 +911,12 @@ def g_lzw_tiles(spark, sf_dir):
 def g_jpeg_features(spark, sf_dir):
     """Feature extraction over JPEG-encoded images — the pure-Python
     baseline codec (functions/jpeg.py: huffman + IDCT, 4:2:0/4:4:4,
-    restart markers) decoding inside the same mapInPandas pipeline as
-    raw blobs.  Deterministic seeded smooth content, encoded at varied
-    quality/subsampling/restart settings; decoded features pinned as a
-    VALUES oracle (spec-vector + round-trip correctness in
-    tests/test_jpeg.py)."""
+    restart markers, progressive SOF2) decoding inside the same
+    mapInPandas pipeline as raw blobs.  Deterministic seeded smooth
+    content, encoded at varied quality/subsampling/restart settings —
+    sequential for rows 0-3, progressive for rows 4-7; decoded features
+    pinned as a VALUES oracle (spec-vector + round-trip correctness in
+    tests/test_jpeg.py and tests/test_jpeg_progressive.py)."""
     import numpy as np
 
     from solaris_spark.functions.jpeg import encode_jpeg
@@ -928,9 +929,14 @@ def g_jpeg_features(spark, sf_dir):
             (100 + 50 * np.sin(yy / (10 + i) + c)
              + 40 * np.cos(xx / (9 + i) - c)).clip(0, 255)
             for c in range(chans)]).astype(np.uint8)
+        # rows 4-7 are progressive (SOF2): same quantization as the
+        # sequential mode, so the pinned features cover both entropy
+        # layouts with one VALUES table (bit parity is test-enforced in
+        # tests/test_jpeg_progressive.py)
         enc = encode_jpeg(arr, quality=(70, 85, 95, 100)[i % 4],
                           subsample=(i % 2 == 0) and chans == 3,
-                          restart_interval=(0, 0, 2, 4)[i % 4])
+                          restart_interval=(0, 0, 2, 4)[i % 4],
+                          progressive=i >= 4)
         rows.append((f"jpg_{i}", bytearray(enc), 64, 48, "jpeg"))
     images = spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string")

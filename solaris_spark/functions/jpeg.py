@@ -2,11 +2,16 @@
 
 Turns ``fmt='jpeg'`` in the multimodal operators from an import gate into
 a real in-sandbox capability (VERDICT r4 next-round #2): baseline and
-extended-sequential Huffman JPEG (SOF0/SOF1), grayscale and YCbCr,
-arbitrary 1-2 sampling factors (4:4:4, 4:2:2, 4:2:0), restart markers,
-byte stuffing, multi-table DQT/DHT.  Progressive (SOF2), arithmetic
-coding, and 12-bit precision raise NotImplementedError — those stay
-gated behind a real imaging stack on a cluster.
+extended-sequential Huffman JPEG (SOF0/SOF1) plus progressive (SOF2,
+T.81 G.2: spectral selection and successive approximation, DC and AC
+first/refinement scans, EOB-run coding), grayscale and YCbCr, arbitrary
+1-2 sampling factors (4:4:4, 4:2:2, 4:2:0), restart markers, byte
+stuffing, multi-table DQT/DHT.  Arithmetic coding and 12-bit precision
+raise NotImplementedError — those stay gated behind a real imaging
+stack on a cluster.  The encoder can emit both modes; progressive uses
+the libjpeg standard progression script and quantizes identically to
+sequential, so the two round-trips decode bit-identically (the parity
+anchor in tests/test_jpeg_progressive.py).
 
 The sandbox has no libjpeg/pillow to pin cross-decoder parity against
 (the r4 verdict suggested a pinned libjpeg array; no JPEG exists under
@@ -239,6 +244,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     i = 2
     n = len(buf)
     planes = None
+    prog_scans = 0
     while i < n:
         if i + 2 > n:
             raise ValueError("truncated JPEG stream")
@@ -277,7 +283,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(seg[p + 17: p + 17 + nv])
                 huff[(tc, th)] = _HuffLUT(bits, vals)
                 p += 17 + nv
-        elif m in (0xC0, 0xC1):  # SOF0/1: baseline / extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, H, W, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG (8-bit only)")
@@ -285,9 +291,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for c in range(nf):
                 cid, hv, tqi = seg[6 + 3 * c: 9 + 3 * c]
                 comps.append(dict(id=cid, h=hv >> 4, v=hv & 15, tq=tqi))
-            frame = dict(H=H, W=W, comps=comps)
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG (baseline only)")
+            frame = dict(H=H, W=W, comps=comps, prog=(m == 0xC2))
+            if m == 0xC2:
+                # persistent coefficient stores, refined scan by scan
+                # (T.81 G.2); MCU-padded so interleaved DC scans fit
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-W // (8 * hmax))
+                mcuy = -(-H // (8 * vmax))
+                prog_store = {
+                    c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                      dtype=np.int32) for c in comps}
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF marker 0xFF{m:02X}")
@@ -303,11 +317,29 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 15))
             segs, i2 = _split_scan(buf, i + 2 + ln)
-            res = _decode_scan(frame, scan, segs, qt, huff, restart)
-            planes = {**(planes or {}), **res}  # multi-scan sequential
+            if frame.get("prog"):
+                ss, se, ahal = seg[1 + 2 * ns: 4 + 2 * ns]
+                _decode_scan_prog(frame, scan, segs, huff, restart,
+                                  ss, se, ahal >> 4, ahal & 15, prog_store)
+                prog_scans += 1
+            else:
+                res = _decode_scan(frame, scan, segs, qt, huff, restart)
+                planes = {**(planes or {}), **res}  # multi-scan sequential
             i = i2
             continue
         i += 2 + ln
+    if frame is not None and frame.get("prog") and prog_scans:
+        planes = {}
+        for c in frame["comps"]:
+            if c["tq"] not in qt:
+                raise ValueError(f"missing DQT slot {c['tq']}")
+            blocks = prog_store[c["id"]]
+            by, bx = blocks.shape[:2]
+            deq = blocks.reshape(-1, 8, 8) * qt[c["tq"]][None]
+            pix = _idct_blocks(deq.astype(np.float64)) + 128.0
+            pix = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3) \
+                .reshape(by * 8, bx * 8)
+            planes[c["id"]] = np.clip(np.round(pix), 0, 255).astype(np.uint8)
     if planes is None:
         raise ValueError("no scan in JPEG")
     return _assemble(frame, planes)
@@ -386,6 +418,142 @@ def _decode_scan(frame, scan, segs, qt, huff, restart):
             .reshape(by * 8, bx * 8)
         planes[c["id"]] = np.clip(np.round(pix), 0, 255).astype(np.uint8)
     return planes
+
+
+def _decode_scan_prog(frame, scan, segs, huff, restart,
+                      ss, se, ah, al, store):
+    """One progressive scan (T.81 G.2, libjpeg jdphuff semantics): updates
+    the per-component coefficient stores in place.  Four scan kinds:
+    DC first (ss=0, ah=0: diff-coded DC at precision al), DC refinement
+    (ss=0, ah>0: one appended bit per block), AC first (band ss..se with
+    EOB-run coding), AC refinement (newly-significant insertions plus
+    correction bits for already-nonzero history).  Restart markers reset
+    both DC predictors and the EOB run."""
+    H, W = frame["H"], frame["W"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    interleaved = len(scan) > 1
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with se != 0")
+        if interleaved:
+            mcux = -(-W // (8 * hmax))
+            mcuy = -(-H // (8 * vmax))
+        else:
+            c = scan[0][0]
+            mcux = -(-(-(-(W * c["h"]) // hmax)) // 8)
+            mcuy = -(-(-(-(H * c["v"]) // vmax)) // 8)
+        n_mcu = mcux * mcuy
+        mcu = 0
+        for si, seg in enumerate(segs):
+            rd = _BitReader(seg)
+            pred = {c["id"]: 0 for c, _, _ in scan}
+            end = min(n_mcu, mcu + restart) if restart else n_mcu
+            while mcu < end:
+                my, mx = divmod(mcu, mcux)
+                for (c, td, _ta) in scan:
+                    hb = c["h"] if interleaved else 1
+                    vb = c["v"] if interleaved else 1
+                    for v in range(vb):
+                        for h in range(hb):
+                            st = store[c["id"]][my * vb + v, mx * hb + h]
+                            if ah == 0:
+                                t = rd.huff(huff[(0, td)])
+                                pred[c["id"]] += _extend(rd.read(t), t)
+                                st[0] = pred[c["id"]] << al
+                            elif rd.read(1):
+                                st[0] |= (1 << al)
+                mcu += 1
+        if mcu < n_mcu:
+            raise ValueError(f"truncated DC scan: {mcu}/{n_mcu} MCUs")
+        return
+
+    # AC scan: always single-component, blocks in component raster order
+    if interleaved:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss > se or se > 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    c, _td, ta = scan[0]
+    ac = huff.get((1, ta))
+    cbw = -(-(-(-(W * c["h"]) // hmax)) // 8)
+    cbh = -(-(-(-(H * c["v"]) // vmax)) // 8)
+    n_blk = cbw * cbh
+    grid = store[c["id"]]
+    p1 = 1 << al
+    m1 = -1 << al
+    blk_i = 0
+    for seg in segs:
+        rd = _BitReader(seg)
+        eobrun = 0
+        end = min(n_blk, blk_i + restart) if restart else n_blk
+        while blk_i < end:
+            by, bx = divmod(blk_i, cbw)
+            st = grid[by, bx]
+            if ah == 0:  # AC first
+                if eobrun:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = rd.huff(ac)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rd.read(r)
+                                break
+                            k += 16  # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC band overrun")
+                            st[ZIGZAG[k]] = _extend(rd.read(s), s) << al
+                            k += 1
+            else:  # AC refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = rd.huff(ac)
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError("AC refine size != 1")
+                            newval = p1 if rd.read(1) else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.read(r)
+                            break  # correction tail handled below
+                        # advance past r zero-history coefficients,
+                        # consuming a correction bit at each nonzero one
+                        while k <= se:
+                            c0 = int(st[ZIGZAG[k]])
+                            if c0 != 0:
+                                if rd.read(1) and not (c0 & p1):
+                                    st[ZIGZAG[k]] = \
+                                        c0 + (p1 if c0 >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError("AC refine overrun")
+                            st[ZIGZAG[k]] = newval
+                        k += 1
+                if eobrun:
+                    while k <= se:  # correction bits under the EOB run
+                        c0 = int(st[ZIGZAG[k]])
+                        if c0 != 0 and rd.read(1) and not (c0 & p1):
+                            st[ZIGZAG[k]] = c0 + (p1 if c0 >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            blk_i += 1
+    if blk_i < n_blk:
+        raise ValueError(f"truncated AC scan: {blk_i}/{n_blk} blocks")
 
 
 def _assemble(frame, planes) -> np.ndarray:
@@ -504,15 +672,331 @@ def _plane_blocks(plane: np.ndarray) -> np.ndarray:
             .reshape(-1, 8, 8))
 
 
+def _mcu_layout(c, h, w, samp, comp_blocks):
+    """MCU walk factory: returns a zero-arg generator function yielding the
+    blocks of one MCU as (comp_idx, block) pairs, in MCU order."""
+    if c == 1 or all(s == (1, 1) for s in samp):
+        def mcus():
+            for bi in range(comp_blocks[0].shape[0]):
+                yield [(ci, comp_blocks[ci][bi]) for ci in range(c)]
+        return mcus
+    # 4:2:0: 4 luma + 1 cb + 1 cr per MCU; odd block grids pad by
+    # edge-block replication (cropped away on decode)
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    lby, lbx = -(-h // 8), -(-w // 8)
+    luma = comp_blocks[0].reshape(lby, lbx, 8, 8)
+    if lby % 2 or lbx % 2:
+        luma = np.pad(luma, ((0, lby % 2), (0, lbx % 2),
+                             (0, 0), (0, 0)), mode="edge")
+    cw, ch2 = -(-w // 2), -(-h // 2)
+    cbx, cby = -(-cw // 8), -(-ch2 // 8)
+    cbb = comp_blocks[1].reshape(cby, cbx, 8, 8)
+    crb = comp_blocks[2].reshape(cby, cbx, 8, 8)
+    if cby < mcuy or cbx < mcux:
+        pad = ((0, mcuy - cby), (0, mcux - cbx), (0, 0), (0, 0))
+        cbb, crb = np.pad(cbb, pad, mode="edge"), \
+            np.pad(crb, pad, mode="edge")
+
+    def mcus():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                parts = [(0, luma[2 * my + v, 2 * mx + hh])
+                         for v in range(2) for hh in range(2)]
+                parts.append((1, cbb[my, mx]))
+                parts.append((2, crb[my, mx]))
+                yield parts
+    return mcus
+
+
+# libjpeg's jpeg_simple_progression scan scripts: (comps, Ss, Se, Ah, Al)
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1), ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1), ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0)]
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1), ((0,), 1, 5, 0, 2), ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1), ((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0), ((2,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0)]
+
+
+class _NullWriter:
+    """Bit sink for the symbol-counting pass."""
+    out = b""
+
+    def write(self, code, n):
+        pass
+
+    def flush(self):
+        pass
+
+
+class _SymCounter:
+    """Stands in for a {symbol: (code, len)} encode table during pass 1:
+    every lookup counts the symbol and returns a dummy code."""
+
+    def __init__(self):
+        self.freq = {}
+
+    def __getitem__(self, sym):
+        self.freq[sym] = self.freq.get(sym, 0) + 1
+        return (0, 1)
+
+
+class _CounterTables:
+    def __init__(self):
+        self.store = {}
+
+    def __getitem__(self, key):
+        if key not in self.store:
+            self.store[key] = _SymCounter()
+        return self.store[key]
+
+
+def _gen_huffman(freq: dict) -> tuple[list, list]:
+    """Optimal length-limited Huffman table from symbol frequencies —
+    the jchuff.c ``jpeg_gen_optimal_table`` algorithm (T.81 Annex K.2):
+    merge the two least-frequent chains, then fold code lengths > 16
+    down, reserving the all-ones codeword via a fake 257th symbol.
+    Returns (BITS[16], HUFFVAL) ready for a DHT segment."""
+    f = [0] * 257
+    for s, n in freq.items():
+        f[s] = n
+    f[256] = 1  # reserve the all-ones code (never assigned to real data)
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if f[i] > 0 and (v is None or f[i] <= v):
+                v, c1 = f[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if f[i] > 0 and i != c1 and (v is None or f[i] <= v):
+                v, c2 = f[i], i
+        if c2 < 0:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's code
+    huffval = [j for size in range(1, 33)
+               for j in range(256) if codesize[j] == size]
+    return bits[1:17], huffval
+
+
+def _encode_progressive(c, comp_blocks, mcus) -> bytes:
+    """All progressive scans (DHT + SOS headers + entropy bytes) per the
+    standard libjpeg progression script.  Progressive entropy coding emits
+    EOBn symbols (0x10..0xE0) that the fixed Annex K tables do not define,
+    so — exactly like libjpeg, which mandates optimized tables for
+    progressive output — each scan is encoded twice: a counting pass, an
+    optimal per-scan Huffman build (``_gen_huffman``), then the real pass
+    with that table emitted in a DHT right before the SOS.  Emission
+    mirrors jcphuff.c: DC point transform is an arithmetic shift, AC is a
+    magnitude shift; EOB runs accumulate across all-zero (in-band,
+    at-precision) blocks and flush before the next coded symbol; AC
+    refinement buffers correction bits behind the symbol that closes
+    their run."""
+    out = bytearray()
+    for comps, ss, se, ah, al in (_PROG_SCRIPT_GRAY if c == 1
+                                  else _PROG_SCRIPT_COLOR):
+        counters = _CounterTables()
+        _emit_prog_scan(_NullWriter(), counters, c, comp_blocks, mcus,
+                        comps, ss, se, ah, al)
+        tbls = {}
+        for (tc, th), cnt in sorted(counters.store.items()):
+            bits, vals = _gen_huffman(cnt.freq or {0: 1})
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+                + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            tbls[(tc, th)] = _enc_table(bits, vals)
+        ns = len(comps)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comps:
+            th = 0 if ci == 0 else 1
+            out += bytes([ci + 1, (th << 4) | th])
+        out += bytes([ss, se, (ah << 4) | al])
+        wr = _BitWriter()
+        _emit_prog_scan(wr, tbls, c, comp_blocks, mcus,
+                        comps, ss, se, ah, al)
+        wr.flush()
+        out += wr.out
+    return bytes(out)
+
+
+def _emit_prog_scan(wr, tbls, c, comp_blocks, mcus, comps, ss, se, ah, al):
+    """One progressive scan body against pluggable tables/sink — called
+    once to count symbols and once to write bits (both passes walk the
+    data identically, so the symbol streams match)."""
+    if ss == 0:
+        preds = [0] * c
+        if ah == 0:  # DC first: diff-code dc >> al
+            for parts in mcus():
+                for ci, blk in parts:
+                    tbl = tbls[(0, 0 if ci == 0 else 1)]
+                    v = int(blk[0, 0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = abs(diff).bit_length()
+                    code, ln = tbl[t]
+                    wr.write(code, ln)
+                    if t:
+                        wr.write(diff if diff >= 0
+                                 else diff + (1 << t) - 1, t)
+        else:  # DC refinement: one appended bit per block, no tables
+            for parts in mcus():
+                for ci, blk in parts:
+                    wr.write((int(blk[0, 0]) >> al) & 1, 1)
+    else:
+        ci = comps[0]
+        ac = tbls[(1, 0 if ci == 0 else 1)]
+        if ah == 0:
+            _enc_ac_first(wr, comp_blocks[ci], ac, ss, se, al)
+        else:
+            _enc_ac_refine(wr, comp_blocks[ci], ac, ss, se, al)
+
+
+def _enc_ac_first(wr, blocks, ac, ss, se, al):
+    band_pos = ZIGZAG[ss: se + 1]
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = ac[n << 4]
+            wr.write(code, ln)
+            if n:
+                wr.write(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for blk in blocks:
+        z = blk.reshape(64)[band_pos]
+        red = np.sign(z) * (np.abs(z) >> al)  # magnitude point transform
+        nz = np.nonzero(red)[0]
+        if nz.size == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        k = 0
+        for pos in nz:
+            run = int(pos) - k
+            while run >= 16:
+                code, ln = ac[0xF0]  # ZRL
+                wr.write(code, ln)
+                run -= 16
+            v = int(red[pos])
+            s = abs(v).bit_length()
+            code, ln = ac[(run << 4) | s]
+            wr.write(code, ln)
+            wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            k = int(pos) + 1
+        if k <= se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(wr, blocks, ac, ss, se, al):
+    band_pos = ZIGZAG[ss: se + 1]
+    eobrun = 0
+    pending = []  # correction bits deferred under the running EOB
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = ac[n << 4]
+            wr.write(code, ln)
+            if n:
+                wr.write(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in pending:
+            wr.write(b, 1)
+        pending = []
+
+    for blk in blocks:
+        z = blk.reshape(64)[band_pos]
+        absv = np.abs(z) >> al
+        newly = np.nonzero(absv == 1)[0]
+        eobpos = int(newly[-1]) if newly.size else -1
+        r = 0
+        br = []  # correction bits inside the current run
+        for k in range(len(z)):
+            t = int(absv[k])
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:
+                flush_eob()
+                code, ln = ac[0xF0]
+                wr.write(code, ln)
+                r -= 16
+                for b in br:
+                    wr.write(b, 1)
+                br = []
+            if t > 1:  # history coefficient: buffer its correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac[(r << 4) | 1]
+            wr.write(code, ln)
+            wr.write(1 if int(z[k]) >= 0 else 0, 1)  # sign of new coef
+            for b in br:
+                wr.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF or len(pending) > 930:
+                flush_eob()
+    flush_eob()
+
+
 def encode_jpeg(array: np.ndarray, quality: int = 90,
                 subsample: bool | None = None,
-                restart_interval: int = 0) -> bytes:
-    """(C, H, W) or (H, W) uint8 → baseline JFIF bytes.  C = 1 writes a
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """(C, H, W) or (H, W) uint8 → JFIF bytes.  C = 1 writes a
     single-component grayscale stream; C = 3 is RGB → YCbCr with 4:2:0
     chroma subsampling by default (``subsample=False`` for 4:4:4).
     ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs —
     the JPEG feature that makes entropy streams independently decodable
-    per segment (robustness + parallel-decode hooks at scale)."""
+    per segment (robustness + parallel-decode hooks at scale); it applies
+    to the sequential mode only and is ignored for progressive output.
+    ``progressive=True`` writes SOF2 with the libjpeg standard progression
+    script (spectral selection + two levels of successive approximation on
+    both DC and AC) — the dominant layout of web JPEGs.  Quantized
+    coefficients are identical to the sequential mode at the same quality,
+    so progressive and sequential round-trips decode bit-identically."""
     if array.ndim == 2:
         array = array[None]
     arr = np.asarray(array)
@@ -553,25 +1037,21 @@ def encode_jpeg(array: np.ndarray, quality: int = 90,
         z = q.reshape(64)[ZIGZAG]
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
             + bytes(int(v) for v in z)
-    if restart_interval:
+    if restart_interval and not progressive:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * c, 8, h, w, c)
+    out += bytes([0xFF, 0xC2 if progressive else 0xC0]) \
+        + struct.pack(">HBHHB", 8 + 3 * c, 8, h, w, c)
     for ci in range(c):
         out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], tqs[ci]])
-    tables = [(0, 0, *DC_LUMA), (1, 0, *AC_LUMA)]
-    if c == 3:
-        tables += [(0, 1, *DC_CHROMA), (1, 1, *AC_CHROMA)]
     enc_tbl = {}
-    for tc, th, bits, vals in tables:
-        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
-            + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-        enc_tbl[(tc, th)] = _enc_table(bits, vals)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * c, c)
-    for ci in range(c):
-        td_ta = 0 if ci == 0 else 0x11
-        out += bytes([ci + 1, td_ta])
-    out += b"\x00\x3f\x00"  # Ss, Se, Ah/Al
-
+    if not progressive:  # progressive emits optimized tables per scan
+        tables = [(0, 0, *DC_LUMA), (1, 0, *AC_LUMA)]
+        if c == 3:
+            tables += [(0, 1, *DC_CHROMA), (1, 1, *AC_CHROMA)]
+        for tc, th, bits, vals in tables:
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+                + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            enc_tbl[(tc, th)] = _enc_table(bits, vals)
     # quantize blocks per component
     comp_blocks = []
     for ci, p in enumerate(planes):
@@ -579,37 +1059,18 @@ def encode_jpeg(array: np.ndarray, quality: int = 90,
         blocks = _plane_blocks(p) - 128.0
         comp_blocks.append(_quantize(_fdct_blocks(blocks), q))
 
-    # MCU walk: yields the blocks of one MCU as (comp_idx, block) pairs
-    if c == 1 or all(s == (1, 1) for s in samp):
-        def mcus():
-            for bi in range(comp_blocks[0].shape[0]):
-                yield [(ci, comp_blocks[ci][bi]) for ci in range(c)]
-    else:
-        # 4:2:0: 4 luma + 1 cb + 1 cr per MCU; odd block grids pad by
-        # edge-block replication (cropped away on decode)
-        mcux, mcuy = -(-w // 16), -(-h // 16)
-        lby, lbx = -(-h // 8), -(-w // 8)
-        luma = comp_blocks[0].reshape(lby, lbx, 8, 8)
-        if lby % 2 or lbx % 2:
-            luma = np.pad(luma, ((0, lby % 2), (0, lbx % 2),
-                                 (0, 0), (0, 0)), mode="edge")
-        cw, ch2 = -(-w // 2), -(-h // 2)
-        cbx, cby = -(-cw // 8), -(-ch2 // 8)
-        cbb = comp_blocks[1].reshape(cby, cbx, 8, 8)
-        crb = comp_blocks[2].reshape(cby, cbx, 8, 8)
-        if cby < mcuy or cbx < mcux:
-            pad = ((0, mcuy - cby), (0, mcux - cbx), (0, 0), (0, 0))
-            cbb, crb = np.pad(cbb, pad, mode="edge"), \
-                np.pad(crb, pad, mode="edge")
+    mcus = _mcu_layout(c, h, w, samp, comp_blocks)
 
-        def mcus():
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    parts = [(0, luma[2 * my + v, 2 * mx + hh])
-                             for v in range(2) for hh in range(2)]
-                    parts.append((1, cbb[my, mx]))
-                    parts.append((2, crb[my, mx]))
-                    yield parts
+    if progressive:
+        out += _encode_progressive(c, comp_blocks, mcus)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * c, c)
+    for ci in range(c):
+        td_ta = 0 if ci == 0 else 0x11
+        out += bytes([ci + 1, td_ta])
+    out += b"\x00\x3f\x00"  # Ss, Se, Ah/Al
 
     wr = _BitWriter()
     preds = [0] * c

@@ -180,10 +180,10 @@ class TestErrors:
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"\x89PNG1234")
 
-    def test_progressive_raises(self):
+    def test_progressive_without_scans_raises(self):
         buf = (b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
                + bytes([1, 0x11, 0]) + b"\xff\xd9")
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="no scan"):
             decode_jpeg(buf)
 
     def test_truncated_scan_raises(self):
