@@ -124,7 +124,25 @@ def kernel_ceiling() -> dict:
     # shared-host noise can push the probe super-linear; the ceiling is a
     # context number, cap at 1.0
     out["kernel_ceiling_efficiency"] = round(min(eff, 1.0), 3)
+    # pure-memcpy scaling ceiling: the tile-slicing stage is ~all memcpy
+    # (pixel blobs sliced + serialized, near-zero arithmetic), so ITS
+    # ceiling is the host's parallel copy bandwidth, probed bare
+    for n in (N_LO, N_HI):
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(_memcpy_work, range(64))
+        out[f"pool{n}_copies_per_sec"] = round(64 / (time.time() - t0), 2)
+    eff = out[f"pool{N_HI}_copies_per_sec"] / (4 * out[f"pool{N_LO}_copies_per_sec"])
+    out["memcpy_ceiling_efficiency"] = round(min(eff, 1.0), 3)
     return out
+
+
+def _memcpy_work(i):
+    import numpy as np
+    a = np.full(3 * 1024 * 1024, i % 251, dtype=np.uint8)  # one mask-size blob
+    for _ in range(20):
+        a = a.copy()
+    return int(a[0])
 
 
 def _kernel_work(i):
@@ -133,9 +151,12 @@ def _kernel_work(i):
     row = synth.synth_image_row(42, i, MIN_PX, MAX_PX)
     wkts = synth.synth_labels_for(42, row["image_id"], row["w"], row["h"],
                                   MIN_LABELS, MAX_LABELS)
-    build_mask_arrays(wkts, (row["h"], row["w"]),
-                      ["footprint", "boundary", "contact"])
-    return 1
+    arr = build_mask_arrays(wkts, (row["h"], row["w"]),
+                            ["footprint", "boundary", "contact"])
+    # the DataFrame contract serializes every mask (numpy → Arrow bytes);
+    # include that memcpy so the probe measures the ceiling of the job the
+    # engine actually has to run, not a discard-the-output variant
+    return len(arr.tobytes())
 
 
 N_LO = int(os.environ.get("SCALE_N_LO", "4"))
