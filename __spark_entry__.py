@@ -431,10 +431,12 @@ def q_minhash_lsh(spark, sf_dir):
             .orderBy("da", "db"))
 
 
-def _sql_minhash() -> str:
+def _sql_minhash_ctes() -> str:
     # Kirsch–Mitzenmacher double hashing: the whole family comes from ONE
     # md5 per shingle — h_i = (h1 + i·h2) mod 2^32 with h1/h2 = two 32-bit
-    # digest words (mirrors dedup.minhash_signatures exactly)
+    # digest words (mirrors dedup.minhash_signatures exactly).  Shared CTE
+    # body (through `stacked`) between the pair oracle and the cluster
+    # oracle so both recompute the identical hash family.
     hash_exprs = ",\n    ".join(
         "MIN((CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) + "
         f"{i} * CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT)) "
@@ -445,8 +447,7 @@ def _sql_minhash() -> str:
                                       for j in range(4)) + f") AS band{b}"
         for b in range(4))
     buckets = ", ".join(f"concat('{b}:', band{b})" for b in range(4))
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
       range(1, len(string_split(text,' '))-1),
       i -> concat_ws(' ', string_split(text,' ')[i],
@@ -462,10 +463,49 @@ bands AS (
     {band_exprs}
   FROM sig),
 stacked AS (
-  SELECT doc_id, unnest([{buckets}]) AS bucket FROM bands)
+  SELECT doc_id, unnest([{buckets}]) AS bucket FROM bands)"""
+
+
+def _sql_minhash() -> str:
+    return f"""
+WITH {_sql_minhash_ctes()}
 SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
 FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 ORDER BY da, db
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup CLUSTERS: MinHash+LSH pairs → connected
+    components (alternating large-star/small-star contraction,
+    O(log² n) rounds, diameter-independent) → cluster_id = min doc_id.
+    The oracle recomputes identical clusters with a DuckDB recursive CTE
+    (min-label transitive closure) over the same md5-derived pairs."""
+    from solaris_spark.operators import dedup
+    d = _load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, n_hashes=_N_HASHES, bands=4)
+    return dedup.dedup_clusters(d, pairs).orderBy("doc_id")
+
+
+def _sql_dedup_clusters() -> str:
+    # Recursive min-label walk over the symmetrized LSH pair graph:
+    # UNION-dedup on (node, lbl) guarantees termination; MIN(lbl) per
+    # node is the component minimum == the engine's star-contraction root.
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM stacked a JOIN stacked b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sym AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION SELECT db, da FROM pairs),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN sym e ON e.a = w.node)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM walk GROUP BY node ORDER BY doc_id
 """
 
 
@@ -2136,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embedding_knn": q_embedding_knn,
         "lang_id": q_lang_id,
@@ -2198,6 +2239,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_lsh": _sql_minhash(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "simhash": SQL_SIMHASH,
         "embedding_knn": SQL_EMB_KNN,
         "lang_id": SQL_LANG_ID,

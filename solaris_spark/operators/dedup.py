@@ -240,3 +240,25 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .filter(F.col("cosine") >= threshold)
             .select(F.col(f"a.{id_col}").alias("da"),
                     F.col(f"b.{id_col}").alias("db"), "cosine"))
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Duplicate CLUSTERS from near-dup PAIRS: connected components over
+    the pair graph (alternating star contraction, graph.connected_components
+    — O(log^2 n) shuffle rounds, diameter-independent).
+
+    Pair emitters (minhash_lsh_pairs / simhash_near_dup_pairs /
+    ngram_jaccard_pairs / embedding_near_dup_pairs) return edges (da, db);
+    a real corpus-dedup pipeline needs the transitive closure — A~B, B~C
+    must dedup {A,B,C} together even when A~C was never emitted (chained
+    near-dups are the common case for boilerplate families at 100 TB).
+    cluster_id = min doc id of the cluster; every document appears exactly
+    once (singletons cluster as themselves).
+    """
+    from .graph import connected_components
+    nodes = docs.select(F.col(id_col).alias("node_id")).distinct()
+    edges = pairs.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+    comp = connected_components(nodes, edges)
+    return comp.select(F.col("node_id").alias(id_col),
+                       F.col("component").alias("cluster_id"))

@@ -314,3 +314,17 @@ class TestCleanText:
         assert out[2]["n_emails"] == 1 and "@" not in out[2]["clean_text"]
         assert out[3]["clean_text"] == "plain text"
         assert out[3]["chars_removed"] == 3
+
+
+class TestDedupClusters:
+    def test_transitive_closure(self, spark):
+        """A~B and B~C (no A~C pair) must cluster {A,B,C} together."""
+        from solaris_spark.operators import dedup
+        docs = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "z")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "da long, db long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.dedup_clusters(docs, pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}

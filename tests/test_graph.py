@@ -111,3 +111,73 @@ class TestDistributedSink:
         assert feats[0]["properties"]["road_type"] == "motorway"
         assert feats[0]["geometry"]["coordinates"] == [[0.0, 0.0],
                                                        [1.0, 0.0]]
+
+
+class TestStarComponents:
+    """Alternating large-star/small-star CC (Kiveris et al. 2014)."""
+
+    def test_long_chain_diameter_independent(self, spark):
+        """A 200-node path has diameter 199: min-label flooding would need
+        ~200 rounds (far beyond max_iter), star contraction converges
+        within the default 25."""
+        import pyspark.sql.functions as F
+        n = 200
+        nodes = spark.range(n).select(F.col("id").alias("node_id"))
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst"),
+        )
+        comp = graph.connected_components(nodes, edges)
+        rows = comp.collect()
+        assert len(rows) == n
+        assert {r["component"] for r in rows} == {0}
+
+    def test_randomized_networkx_parity(self, spark):
+        """Component PARTITION equality vs networkx on seeded G(n, p)
+        graphs, including isolated nodes and a duplicate-heavy edge list."""
+        import random
+
+        import networkx as nx
+        import pyspark.sql.functions as F
+
+        rng = random.Random(42)
+        for trial, (n, p) in enumerate([(60, 0.03), (80, 0.02), (40, 0.1)]):
+            g = nx.gnp_random_graph(n, p, seed=100 + trial)
+            edge_rows = [(a, b) for a, b in g.edges()]
+            edge_rows += [(b, a) for a, b in edge_rows[: len(edge_rows) // 2]]
+            rng.shuffle(edge_rows)
+            nodes = spark.createDataFrame(
+                [(i,) for i in range(n)], "node_id long")
+            if edge_rows:
+                edges = spark.createDataFrame(edge_rows, "src long, dst long")
+            else:
+                edges = spark.createDataFrame([], "src long, dst long")
+            got = {r["node_id"]: r["component"]
+                   for r in graph.connected_components(nodes, edges).collect()}
+            want = {}
+            for cc in nx.connected_components(g):
+                root = min(cc)
+                for v in cc:
+                    want[v] = root
+            assert got == want, f"trial {trial}"
+
+    def test_self_loops_and_empty(self, spark):
+        import pyspark.sql.functions as F
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], "node_id long")
+        edges = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+        got = {r["node_id"]: r["component"]
+               for r in graph.connected_components(nodes, edges).collect()}
+        assert got == {1: 1, 2: 2, 3: 3}
+        empty = spark.createDataFrame([], "src long, dst long")
+        got2 = {r["node_id"]: r["component"]
+                for r in graph.connected_components(nodes, empty).collect()}
+        assert got2 == {1: 1, 2: 2, 3: 3}
+
+    def test_string_ids(self, spark):
+        """Ids only need a total order — doc-style string keys work."""
+        nodes = spark.createDataFrame(
+            [("d1",), ("d2",), ("d3",), ("d9",)], "node_id string")
+        edges = spark.createDataFrame(
+            [("d2", "d3"), ("d3", "d9")], "src string, dst string")
+        got = {r["node_id"]: r["component"]
+               for r in graph.connected_components(nodes, edges).collect()}
+        assert got == {"d1": "d1", "d2": "d2", "d3": "d2", "d9": "d2"}

@@ -552,3 +552,31 @@ class TestSparseBlocks:
         out = _read_region(_BytesReader(data), meta, 0, 0, 64, 64)
         assert (out[:, 32:, 32:] == 255).all()
         assert (out[:, :32, :32] == 7).all()
+
+
+class TestBigTiffPast4GB:
+    """True >4 GB stress — proves 8-byte offsets actually resolve past the
+    4 GiB boundary, not just that the format version flips.  ~4.4 GB of
+    disk + ~70 s of synthesis, so opt-in: SOLARIS_SPARK_SLOW=1.
+    (Run verified green this round before gating; see BENCH/BASELINE.md.)"""
+
+    @pytest.mark.skipif(not os.environ.get("SOLARIS_SPARK_SLOW"),
+                        reason="writes a 4.4 GB file; set SOLARIS_SPARK_SLOW=1")
+    def test_windowed_reads_past_4gib(self, tmp_path):
+        from solaris_spark.functions.tiffio import read_tiff_window, write_tiff
+        n = 47104  # multiple of 512; 47104^2 uint16 = 4.44 GB > 4 GiB
+        yy = (np.arange(n, dtype=np.uint32) * 31)
+        xx = (np.arange(n, dtype=np.uint32) * 17)
+        arr = ((yy[:, None] + xx[None, :]) & 0xFFFF).astype(np.uint16)
+        p = str(tmp_path / "huge.tif")
+        write_tiff(p, arr, tile=(512, 512), bigtiff=True,
+                   transform=(0.5, 0.0, 100.0, 0.0, -0.5, 200.0), epsg=32633)
+        assert os.path.getsize(p) > 4 * 1024 ** 3
+        for (r, c, h, w) in [(0, 0, 700, 700), (46000, 46000, 1000, 1000),
+                             (23456, 40000, 513, 777),
+                             (n - 512, n - 512, 512, 512)]:
+            win = read_tiff_window(p, r, c, h, w)
+            got = win.array[0] if win.array.ndim == 3 else win.array
+            want = ((yy[r:r + h, None] + xx[None, c:c + w]) & 0xFFFF
+                    ).astype(np.uint16)
+            assert np.array_equal(got, want), (r, c, h, w)
