@@ -328,3 +328,37 @@ class TestDedupClusters:
         got = {r["doc_id"]: r["cluster_id"]
                for r in dedup.dedup_clusters(docs, pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+    def test_random_pairs_unionfind_parity(self, spark):
+        """200 docs, 150 random similarity pairs (dups + self-pairs mixed
+        in) — cluster partition must equal a union-find oracle and every
+        doc must appear exactly once."""
+        import random
+
+        from solaris_spark.operators import dedup
+
+        rng = random.Random(13)
+        n = 200
+        pair_rows = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        pair_rows += pair_rows[:30]          # duplicate pairs
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(n)], "doc_id long, text string")
+        pairs = spark.createDataFrame(pair_rows, "da long, db long")
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pair_rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in range(n)}
+
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.dedup_clusters(docs, pairs).collect()}
+        assert got == want

@@ -181,3 +181,48 @@ class TestStarComponents:
         got = {r["node_id"]: r["component"]
                for r in graph.connected_components(nodes, edges).collect()}
         assert got == {"d1": "d1", "d2": "d2", "d3": "d2", "d9": "d2"}
+
+    def test_large_mixed_topology_unionfind_parity(self, spark):
+        """1,500-node stress: a 400-node path (deep diameter), two dense
+        blobs, random cross edges and isolated nodes — component
+        partition must equal a pure-Python union-find oracle."""
+        import random
+
+        rng = random.Random(7)
+        n = 1500
+        edge_rows = [(i, i + 1) for i in range(400)]          # long path
+        for base in (500, 700):                               # two blobs
+            members = list(range(base, base + 120))
+            for _ in range(400):
+                edge_rows.append((rng.choice(members), rng.choice(members)))
+        for _ in range(150):                                  # random wires
+            edge_rows.append((rng.randrange(900, 1400),
+                              rng.randrange(900, 1400)))
+        rng.shuffle(edge_rows)
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        roots = {}
+        for v in range(n):
+            r = find(v)
+            roots.setdefault(r, min(r, v))
+        for v in range(n):
+            want[v] = roots[find(v)]
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)],
+                                      "node_id long")
+        edges = spark.createDataFrame(edge_rows, "src long, dst long")
+        got = {r["node_id"]: r["component"]
+               for r in graph.connected_components(nodes, edges).collect()}
+        assert got == want
