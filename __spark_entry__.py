@@ -948,6 +948,43 @@ def g_lzw_tiles(spark, sf_dir):
             .orderBy("tile_id"))
 
 
+def g_jpeg_cog_tiles(spark, sf_dir):
+    """Byte-range tiling of a JPEG-compressed COG (TIFF compression 7,
+    TechNote 2) — the layout of most real-world aerial/satellite COGs:
+    abbreviated baseline JPEG per interior tile, shared DQT/DHT tables in
+    tag 347 (JPEGTables), YCbCr photometric (6) with 4:2:0 subsampling.
+    Written deterministically by tiffio.write_tiff(compress='jpeg');
+    every task fetches only the file tiles under its output tile and
+    decodes them with the pure-Python T.81 codec (functions/jpeg.py).
+    Decode is deterministic, so md5 per tile payload pins byte parity
+    (VALUES oracle; end-to-end parity in tests/test_jpeg_tiff.py).
+    Reference parity: solaris reads these via rasterio/GDAL+libjpeg."""
+    import numpy as np
+
+    from solaris_spark.functions.tiffio import write_tiff
+    from solaris_spark.operators import tiling
+    path = "/tmp/solaris_spark_jpegcog_fixture.tif"
+    yy, xx = np.mgrid[0:500, 0:640]
+    arr = np.stack([
+        120 + 60 * np.sin(yy / 23) + 40 * np.cos(xx / 31),
+        100 + 50 * np.sin((yy + xx) / 29),
+        90 + 70 * np.cos(yy / 17) * np.sin(xx / 41),
+    ]).clip(0, 255).astype(np.uint8)
+    write_tiff(path, arr, tile=(256, 256), compress="jpeg",
+               jpeg_quality=90, transform=(0.5, 0.0, 733601.0, 0.0, -0.5,
+                                           3725139.0), epsg=32616)
+    files = spark.createDataFrame(
+        [("jcog", path, 640, 500, 0.5, 0.0, 733601.0, 0.0, -0.5,
+          3725139.0, None)],
+        "image_id string, path string, w int, h int, a double, b double, "
+        "c double, d double, e double, f double, nodata double")
+    t = tiling.raster_tiles_windowed(files, (256, 256), partitions=8)
+    return (t.select("tile_id", "tx", "ty",
+                     F.md5(F.col("pixels")).alias("tile_md5"),
+                     F.round("nodata_frac", 6).alias("nodata_frac"))
+            .orderBy("tile_id"))
+
+
 def g_jpeg_features(spark, sf_dir):
     """Feature extraction over JPEG-encoded images — the pure-Python
     baseline codec (functions/jpeg.py: huffman + IDCT, 4:2:0/4:4:4,
@@ -1500,6 +1537,22 @@ SELECT * FROM (VALUES
   ('lzw_733857_3725145', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '948829623ccc13282a18fad25ec8647b', CAST(0.523438 AS DOUBLE))
 ) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
 """
+
+# Pinned output of g_jpeg_cog_tiles: byte-range tiling of a JPEG-in-TIFF
+# COG (compression 7 + JPEGTables + YCbCr 4:2:0; deterministic seeded
+# content and deterministic pure-Python decode — md5 per decoded tile
+# payload; windowed/full and structural parity in tests/test_jpeg_tiff.py).
+SQL_JPEG_COG_TILES = """
+SELECT * FROM (VALUES
+  ('jcog_733601_3725017', CAST(0 AS INTEGER), CAST(0 AS INTEGER), '2aba0c7ef4167b776695a18ff408d66a', CAST(0.0 AS DOUBLE)),
+  ('jcog_733601_3725145', CAST(0 AS INTEGER), CAST(1 AS INTEGER), '3123fb52d4b66c4e21673c7487240a78', CAST(0.046875 AS DOUBLE)),
+  ('jcog_733729_3725017', CAST(1 AS INTEGER), CAST(0 AS INTEGER), 'f116fdb6faaae00182fc936e3597ba81', CAST(0.0 AS DOUBLE)),
+  ('jcog_733729_3725145', CAST(1 AS INTEGER), CAST(1 AS INTEGER), '818a531fe4ba173f9f4775e76888c065', CAST(0.046875 AS DOUBLE)),
+  ('jcog_733857_3725017', CAST(2 AS INTEGER), CAST(0 AS INTEGER), '17e7783ac0381e8f95a835fb6e29c218', CAST(0.5 AS DOUBLE)),
+  ('jcog_733857_3725145', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '02a3a399379d40f42f69919971939607', CAST(0.523438 AS DOUBLE))
+) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
+"""
+
 
 
 # Pinned output of g_warp_resample: UTM→4326 warped tiling of the
@@ -2200,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_tiles": g_windowed_tiles,
         "windowed_tiles_cog": g_windowed_tiles_cog,
         "lzw_tiles": g_lzw_tiles,
+        "jpeg_cog_tiles": g_jpeg_cog_tiles,
         "overview_tiles": g_overview_tiles,
         "bigtiff_tiles": g_bigtiff_tiles,
         "resize_stats": g_resize_stats,
@@ -2262,6 +2316,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_tiles": SQL_WINDOWED_TILES,
         "windowed_tiles_cog": SQL_WINDOWED_TILES_COG,
         "lzw_tiles": SQL_LZW_TILES,
+        "jpeg_cog_tiles": SQL_JPEG_COG_TILES,
         "overview_tiles": SQL_OVERVIEW_TILES,
         "bigtiff_tiles": SQL_BIGTIFF_TILES,
         "resize_stats": SQL_RESIZE_STATS,

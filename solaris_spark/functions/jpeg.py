@@ -233,8 +233,16 @@ def _split_scan(data: bytes, start: int):
     return segs, i
 
 
-def decode_jpeg(buf: bytes) -> np.ndarray:
-    """JPEG bytes → (C, H, W) uint8 (C = 1 grayscale, 3 RGB)."""
+def decode_jpeg(buf: bytes,
+                color_transform: bool | None = None) -> np.ndarray:
+    """JPEG bytes → (C, H, W) uint8 (C = 1 grayscale, 3 RGB).
+
+    ``color_transform`` controls the 3-component output color space:
+    ``None`` (default) applies the standard JFIF YCbCr→RGB conversion;
+    ``False`` returns the decoded component planes untouched — needed by
+    TIFF compression-7 readers when PhotometricInterpretation says the
+    JPEG payload is already RGB (photometric 2), where converting would
+    corrupt the pixels."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -342,7 +350,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             planes[c["id"]] = np.clip(np.round(pix), 0, 255).astype(np.uint8)
     if planes is None:
         raise ValueError("no scan in JPEG")
-    return _assemble(frame, planes)
+    return _assemble(frame, planes, color_transform)
 
 
 def _decode_scan(frame, scan, segs, qt, huff, restart):
@@ -556,7 +564,8 @@ def _decode_scan_prog(frame, scan, segs, huff, restart,
         raise ValueError(f"truncated AC scan: {blk_i}/{n_blk} blocks")
 
 
-def _assemble(frame, planes) -> np.ndarray:
+def _assemble(frame, planes,
+              color_transform: bool | None = None) -> np.ndarray:
     H, W = frame["H"], frame["W"]
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -570,6 +579,8 @@ def _assemble(frame, planes) -> np.ndarray:
         out.append(p[:H, :W])
     if len(out) == 1:
         return out[0][None]
+    if color_transform is False:  # raw component planes (TIFF photometric 2)
+        return np.stack(out)
     y, cb, cr = (o.astype(np.float64) for o in out)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -984,7 +995,8 @@ def _enc_ac_refine(wr, blocks, ac, ss, se, al):
 def encode_jpeg(array: np.ndarray, quality: int = 90,
                 subsample: bool | None = None,
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                omit_tables: bool = False) -> bytes:
     """(C, H, W) or (H, W) uint8 → JFIF bytes.  C = 1 writes a
     single-component grayscale stream; C = 3 is RGB → YCbCr with 4:2:0
     chroma subsampling by default (``subsample=False`` for 4:4:4).
@@ -996,7 +1008,15 @@ def encode_jpeg(array: np.ndarray, quality: int = 90,
     script (spectral selection + two levels of successive approximation on
     both DC and AC) — the dominant layout of web JPEGs.  Quantized
     coefficients are identical to the sequential mode at the same quality,
-    so progressive and sequential round-trips decode bit-identically."""
+    so progressive and sequential round-trips decode bit-identically.
+    ``omit_tables=True`` writes an abbreviated stream (T.81 §B.4/B.5):
+    no APP0, DQT or DHT segments — the decoder must be seeded with the
+    same-quality tables (see ``jpeg_tables_stream``/``merge_abbreviated``).
+    This is the TIFF compression-7 JPEGTables layout (TTN2): thousands of
+    tiles share ONE table blob instead of re-carrying ~600 bytes each.
+    Baseline only (progressive emits per-scan optimized tables)."""
+    if omit_tables and progressive:
+        raise ValueError("omit_tables applies to baseline streams only")
     if array.ndim == 2:
         array = array[None]
     arr = np.asarray(array)
@@ -1031,12 +1051,13 @@ def encode_jpeg(array: np.ndarray, quality: int = 90,
         planes, samp, tqs = [arr[0].astype(np.float64)], [(1, 1)], [0]
 
     out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
-        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    for tq, q in ((0, qly), (1, qlc))[: 1 + (c == 3)]:
-        z = q.reshape(64)[ZIGZAG]
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
-            + bytes(int(v) for v in z)
+    if not omit_tables:
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+            + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+        for tq, q in ((0, qly), (1, qlc))[: 1 + (c == 3)]:
+            z = q.reshape(64)[ZIGZAG]
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+                + bytes(int(v) for v in z)
     if restart_interval and not progressive:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += bytes([0xFF, 0xC2 if progressive else 0xC0]) \
@@ -1049,8 +1070,9 @@ def encode_jpeg(array: np.ndarray, quality: int = 90,
         if c == 3:
             tables += [(0, 1, *DC_CHROMA), (1, 1, *AC_CHROMA)]
         for tc, th, bits, vals in tables:
-            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
-                + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            if not omit_tables:
+                out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+                    + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
             enc_tbl[(tc, th)] = _enc_table(bits, vals)
     # quantize blocks per component
     comp_blocks = []
@@ -1090,3 +1112,42 @@ def encode_jpeg(array: np.ndarray, quality: int = 90,
     out += wr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def jpeg_tables_stream(quality: int = 90, color: bool = True) -> bytes:
+    """Tables-only abbreviated JPEG stream (T.81 §B.5): SOI, the DQT and
+    DHT segments ``encode_jpeg(..., quality)`` would emit, EOI.  This is
+    exactly the payload of TIFF tag 347 (JPEGTables, TechNote 2): every
+    tile written at the same quality shares these tables, and a reader
+    seeds its decoder with them before each tile's entropy data."""
+    qly = _scaled_qt(QT_LUMA, quality).reshape(8, 8)
+    qlc = _scaled_qt(QT_CHROMA, quality).reshape(8, 8)
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, qly), (1, qlc))[: 2 if color else 1]:
+        z = q.reshape(64)[ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(v) for v in z)
+    tables = [(0, 0, *DC_LUMA), (1, 0, *AC_LUMA)]
+    if color:
+        tables += [(0, 1, *DC_CHROMA), (1, 1, *AC_CHROMA)]
+    for tc, th, bits, vals in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def merge_abbreviated(tables: bytes | None, stream: bytes) -> bytes:
+    """Splice a tables-only stream into an abbreviated image stream so
+    ``decode_jpeg`` sees one self-contained stream: the table segments
+    land between the image's SOI and its first frame segment, and any
+    table the image stream redefines later simply overrides (T.81 table
+    slots are last-definition-wins, which is the TTN2 semantics)."""
+    if not tables or len(tables) < 6:
+        return stream
+    if tables[:2] != b"\xff\xd8" or stream[:2] != b"\xff\xd8":
+        raise ValueError("merge_abbreviated expects SOI-led streams")
+    body = tables[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    return stream[:2] + body + stream[2:]

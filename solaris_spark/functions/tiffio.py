@@ -178,6 +178,8 @@ class TiffMeta:
     epsg: int | None
     nodata: float | None
     subfile_type: int = 0   # 1 = reduced-resolution overview
+    photometric: int = 1    # 6 = YCbCr (the JPEG-compressed COG norm)
+    jpeg_tables: bytes | None = None  # tag 347 shared abbreviated tables
 
 
 class _BytesReader:
@@ -289,12 +291,23 @@ def _parse_meta(rd) -> list[TiffMeta]:
         w = get(256)[0]
         h = get(257)[0]
         comp = get(259, (1,))[0]
-        if comp not in (1, 5, 8, 32946):
+        if comp not in (1, 5, 7, 8, 32946):
             raise NotImplementedError(
                 f"unsupported TIFF compression={comp} (supported: 1=none, "
-                "5=LZW, 8/32946=deflate)")
+                "5=LZW, 7=JPEG, 8/32946=deflate)")
         spp = get(277, (1,))[0]
         planar = get(284, (1,))[0]
+        photometric = get(262, (1,))[0]
+        jpeg_tables = None
+        if comp == 7:
+            # new-style JPEG (TechNote 2): each block is an abbreviated
+            # JPEG stream; tag 347 carries the shared DQT/DHT tables.
+            if planar != 1 and spp > 1:
+                raise NotImplementedError(
+                    "JPEG-in-TIFF with planar=2 is not supported")
+            jt = get(347)
+            if jt:
+                jpeg_tables = bytes(jt)
         bps = get(258, (1,) * spp)
         sampfmt = get(339, (1,) * spp)
         predictor = get(317, (1,))[0]
@@ -353,7 +366,8 @@ def _parse_meta(rd) -> list[TiffMeta]:
             dtype=dtype, predictor=predictor, offsets=tuple(offsets),
             counts=tuple(counts), rows_per_strip=rows_per_strip,
             tile_w=tile_w, tile_h=tile_h, transform=transform, epsg=epsg,
-            nodata=nodata, subfile_type=get(254, (0,))[0]))
+            nodata=nodata, subfile_type=get(254, (0,))[0],
+            photometric=photometric, jpeg_tables=jpeg_tables))
     if not levels:
         raise ValueError("TIFF has no IFD")
     return levels
@@ -399,6 +413,26 @@ def _decode_block(meta: TiffMeta, raw: bytes, rows: int, cols: int,
     if not raw:
         fill = meta.nodata if meta.nodata is not None else 0
         return np.full((rows, cols, spp), fill, dtype=meta.dtype)
+    if meta.comp == 7:
+        # abbreviated JPEG stream + shared tag-347 tables.  photometric 6
+        # (YCbCr) gets the standard JFIF→RGB conversion inside the
+        # decoder; photometric 2 means the payload is already RGB and
+        # must NOT be converted.  Writers pad blocks to full tile dims
+        # (MCU-aligned), so crop; pad defensively for writers that
+        # emitted exact edge dims.
+        from .jpeg import decode_jpeg, merge_abbreviated
+        dec = decode_jpeg(merge_abbreviated(meta.jpeg_tables, raw),
+                          color_transform=(None if meta.photometric != 2
+                                           else False))
+        if dec.shape[0] != spp:
+            raise ValueError(
+                f"JPEG block has {dec.shape[0]} components, IFD says {spp}")
+        arr = np.moveaxis(dec, 0, -1)  # (h, w, spp)
+        if arr.shape[0] < rows or arr.shape[1] < cols:
+            arr = np.pad(arr, ((0, max(0, rows - arr.shape[0])),
+                               (0, max(0, cols - arr.shape[1])), (0, 0)),
+                         mode="edge")
+        return arr[:rows, :cols].astype(meta.dtype, copy=False)
     if meta.comp in (8, 32946):
         raw = zlib.decompress(raw)
     elif meta.comp == 5:
@@ -595,7 +629,7 @@ def read_tiff_window(path: str, row_off: int, col_off: int,
 
 def _build_level(arr: np.ndarray, *, tile, comp_code: int, predictor: int,
                  transform, epsg, nodata, subfile_type: int, big: bool,
-                 planar: int = 1):
+                 planar: int = 1, jpeg_quality: int = 90):
     """→ (entries [(tag, type, values|bytes)], blocks [bytes]).  Offsets
     for tags 273/324 are placeholders (index tuples) resolved by the
     serializer once the global layout is known.  ``planar=2`` writes
@@ -607,6 +641,11 @@ def _build_level(arr: np.ndarray, *, tile, comp_code: int, predictor: int,
     chunky = np.moveaxis(arr, 0, -1)  # (h, w, c)
 
     def encode(block: np.ndarray) -> bytes:
+        if comp_code == 7:
+            # abbreviated baseline JPEG per block (tables live in tag 347)
+            from .jpeg import encode_jpeg
+            return encode_jpeg(np.moveaxis(block, -1, 0),
+                               quality=jpeg_quality, omit_tables=True)
         if predictor == 2:
             d = block.copy()
             d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
@@ -630,10 +669,20 @@ def _build_level(arr: np.ndarray, *, tile, comp_code: int, predictor: int,
             nty, ntx = -(-h // th), -(-w // tw)
             for ty in range(nty):
                 for tx in range(ntx):
-                    t = np.zeros((th, tw, ns), dtype=dt)
                     sub = pl[ty * th: min(h, (ty + 1) * th),
                              tx * tw: min(w, (tx + 1) * tw)]
-                    t[: sub.shape[0], : sub.shape[1]] = sub
+                    if sub.shape[:2] == (th, tw):
+                        t = sub
+                    elif comp_code == 7:
+                        # replicate edges into the pad: zero fill would
+                        # put a hard step inside the edge MCUs and ring
+                        # back into the valid pixels
+                        t = np.pad(sub, ((0, th - sub.shape[0]),
+                                         (0, tw - sub.shape[1]), (0, 0)),
+                                   mode="edge")
+                    else:
+                        t = np.zeros((th, tw, ns), dtype=dt)
+                        t[: sub.shape[0], : sub.shape[1]] = sub
                     blocks.append(encode(t))
         else:
             blocks.append(encode(pl))
@@ -650,7 +699,16 @@ def _build_level(arr: np.ndarray, *, tile, comp_code: int, predictor: int,
     E(257, 3 if h < 65536 else 4, (h,))
     E(258, 3, (bits,) * c)
     E(259, 3, (comp_code,))
-    E(262, 3, (1,))
+    if comp_code == 7:
+        # YCbCr photometric + shared JPEGTables (TechNote 2 layout)
+        from .jpeg import jpeg_tables_stream
+        E(262, 3, (6 if c == 3 else 1,))
+        E(347, 7, jpeg_tables_stream(jpeg_quality, color=(c == 3)))
+        if c == 3:
+            E(530, 3, (2, 2))   # 4:2:0, the encoder's default subsampling
+            E(531, 3, (1,))     # centered chroma positioning
+    else:
+        E(262, 3, (1,))
     E(277, 3, (c,))
     E(284, 3, (planar if c > 1 else 1,))
     if predictor != 1:
@@ -699,7 +757,8 @@ def write_tiff(path: str, array: np.ndarray, *,
                tile: tuple[int, int] | None = None,
                compress: str | None = None, predictor: int = 1,
                overviews: list[int] | None = None,
-               bigtiff: bool = False, planar: int = 1) -> None:
+               bigtiff: bool = False, planar: int = 1,
+               jpeg_quality: int = 90) -> None:
     """Write a (C, Y, X) or (Y, X) array as a little-endian chunky
     TIFF/BigTIFF.
 
@@ -707,8 +766,15 @@ def write_tiff(path: str, array: np.ndarray, *,
     reference fixtures).  ``tile=(th, tw)`` writes a tiled layout (tags
     322-325, dims must be multiples of 16 per the TIFF spec, edge tiles
     zero-padded); ``compress='deflate'`` zlib-compresses each block (tag
-    259=8) and ``compress='lzw'`` uses TIFF LZW with early change (tag
-    259=5); ``planar=2`` writes separate plane-major single-sample
+    259=8), ``compress='lzw'`` uses TIFF LZW with early change (tag
+    259=5) and ``compress='jpeg'`` writes new-style JPEG (tag 259=7,
+    TechNote 2): each block is an abbreviated baseline JPEG stream, the
+    DQT/DHT tables are shared once via tag 347 (JPEGTables), photometric
+    is YCbCr (6) with 4:2:0 subsampling for 3-band uint8 (tags 530/531)
+    — the layout of most real-world aerial/satellite COGs; lossy, tune
+    with ``jpeg_quality``, JPEG edge tiles are edge-replicated into the
+    pad instead of zeroed; ``planar=2`` writes separate plane-major
+    single-sample
     blocks (tag 284=2, the Landsat archive layout);
     ``predictor=2`` applies horizontal differencing (tag 317,
     integer dtypes only); ``overviews=[2, 4, ...]`` appends
@@ -725,13 +791,27 @@ def write_tiff(path: str, array: np.ndarray, *,
     if arr.dtype.byteorder == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
     comp_code = {None: 1, "none": 1, "deflate": 8, "zlib": 8,
-                 "lzw": 5}[compress]
+                 "lzw": 5, "jpeg": 7}[compress]
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor={predictor}")
     if predictor == 2 and arr.dtype.kind == "f":
         raise ValueError("predictor=2 is integer-only (3 is the float one)")
     if planar not in (1, 2):
         raise ValueError(f"unsupported planar={planar}")
+    if comp_code == 7:
+        if arr.dtype != np.uint8:
+            raise ValueError("compress='jpeg' is 8-bit only "
+                             f"(got {arr.dtype})")
+        if arr.shape[0] not in (1, 3):
+            raise ValueError("compress='jpeg' needs 1 or 3 bands "
+                             f"(got {arr.shape[0]})")
+        if predictor != 1:
+            raise ValueError("predictor does not apply to compress='jpeg'")
+        if planar != 1:
+            raise ValueError("compress='jpeg' requires planar=1")
+        if tile is None and (arr.shape[1] > 65535 or arr.shape[2] > 65535):
+            raise ValueError("strip JPEG is capped at 65535 px per side "
+                             "(SOF dims are 16-bit) — write tiled")
 
     pyramid = [arr]
     for fct in overviews or []:
@@ -744,7 +824,8 @@ def write_tiff(path: str, array: np.ndarray, *,
             transform=transform if li == 0 else None,
             epsg=epsg if li == 0 else None,
             nodata=nodata if li == 0 else None,
-            subfile_type=0 if li == 0 else 1, big=bigtiff, planar=planar))
+            subfile_type=0 if li == 0 else 1, big=bigtiff, planar=planar,
+            jpeg_quality=jpeg_quality))
 
     # ---- layout: header | all pixel blocks | IFD0+OOL0 | IFD1+OOL1 | ...
     bo = "<"

@@ -28,10 +28,9 @@ from .tiling import decode_image as _decode_raw_image
 
 
 def decode_image_any(fmt: str, buf: bytes, w: int, h: int) -> np.ndarray:
-    """(C, Y, X) pixels.  raw-* formats, PNG and baseline JPEG are native
-    (pure-Python codecs, functions/png.py and functions/jpeg.py —
-    progressive JPEG raises and stays gated); WebP needs a real codec
-    stack."""
+    """(C, Y, X) pixels.  raw-* formats, PNG and JPEG (baseline AND
+    progressive) are native (pure-Python codecs, functions/png.py and
+    functions/jpeg.py); WebP needs a real codec stack."""
     if fmt.startswith("raw-"):
         return _decode_raw_image(fmt, buf, w, h)
     if fmt == "png":
