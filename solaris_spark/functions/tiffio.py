@@ -1,6 +1,9 @@
 """Pure-NumPy TIFF/BigTIFF reader/writer: strip AND tiled layouts,
-uncompressed / deflate (zlib) / LZW compression, horizontal-differencing
-predictor, chunky AND separate-plane (planar=2) sample layouts, sparse
+uncompressed / deflate (zlib) / LZW / baseline-JPEG (compression 7 with
+shared JPEGTables) / PackBits compression, horizontal-differencing
+predictor (2) and TechNote-3 floating-point predictor (3 — the
+DEM/elevation float-COG layout), chunky AND separate-plane (planar=2)
+sample layouts, sparse
 (offset/count 0) blocks as nodata fill, multi-IFD overview pyramids —
 the real COG file layout — plus GeoTIFF georegistration tags and
 byte-range windowed reads with a per-process parsed-IFD cache.
@@ -132,6 +135,81 @@ def _lzw_encode(data: bytes) -> bytes:
     if nbuf:
         out.append((buf << (8 - nbuf)) & 0xFF)
     return bytes(out)
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (compression 32773) — the Apple RLE scheme: control
+    byte n in 0..127 copies n+1 literals, 129..255 repeats the next byte
+    257-n times, 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i: i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += data[i: i + 1] * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder: runs of >=3 identical bytes become repeat
+    packets (max 128), everything else literal packets (max 128)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _fp_diff(block: np.ndarray, spp: int) -> bytes:
+    """Predictor 3 (TIFF TechNote 3 floating-point horizontal
+    differencing, libtiff fpDiff semantics) over one (rows, cols, spp)
+    float block: per row, values are byte-split big-endian MSB-plane
+    first, then byte-wise differenced with stride = samples-per-pixel.
+    Splitting groups the highly-correlated exponent/sign bytes, which is
+    what makes DEM/elevation float COGs actually compress."""
+    rows, cols, _ = block.shape
+    it = block.dtype.itemsize
+    be = np.ascontiguousarray(block.astype(block.dtype.newbyteorder(">")))
+    b = be.view(np.uint8).reshape(rows, cols * spp, it)
+    planes = np.ascontiguousarray(b.transpose(0, 2, 1)).reshape(rows, -1)
+    d = planes.copy()
+    d[:, spp:] -= planes[:, :-spp]  # uint8 wraparound == mod-256 diff
+    return d.tobytes()
+
+
+def _fp_acc(raw: bytes, rows: int, cols: int, spp: int,
+            dtype: np.dtype) -> np.ndarray:
+    """Inverse of ``_fp_diff`` → (rows, cols, spp) in the file dtype."""
+    it = dtype.itemsize
+    n = it * cols * spp
+    arr = np.frombuffer(raw, np.uint8)[: rows * n].reshape(rows, n).copy()
+    acc = arr.reshape(rows, n // spp, spp).cumsum(axis=1, dtype=np.uint8)
+    planes = acc.reshape(rows, it, cols * spp)
+    by = np.ascontiguousarray(planes.transpose(0, 2, 1))
+    return by.reshape(rows, cols, spp, it).view(
+        np.dtype(dtype.str.replace("<", ">"))).reshape(rows, cols, spp)         .astype(dtype)
+
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -291,10 +369,10 @@ def _parse_meta(rd) -> list[TiffMeta]:
         w = get(256)[0]
         h = get(257)[0]
         comp = get(259, (1,))[0]
-        if comp not in (1, 5, 7, 8, 32946):
+        if comp not in (1, 5, 7, 8, 32773, 32946):
             raise NotImplementedError(
                 f"unsupported TIFF compression={comp} (supported: 1=none, "
-                "5=LZW, 7=JPEG, 8/32946=deflate)")
+                "5=LZW, 7=JPEG, 8/32946=deflate, 32773=PackBits)")
         spp = get(277, (1,))[0]
         planar = get(284, (1,))[0]
         photometric = get(262, (1,))[0]
@@ -311,7 +389,7 @@ def _parse_meta(rd) -> list[TiffMeta]:
         bps = get(258, (1,) * spp)
         sampfmt = get(339, (1,) * spp)
         predictor = get(317, (1,))[0]
-        if predictor not in (1, 2):
+        if predictor not in (1, 2, 3):
             raise NotImplementedError(
                 f"unsupported TIFF predictor={predictor}")
         dtype = np.dtype(bo + _DTYPES[(sampfmt[0], bps[0])])
@@ -437,6 +515,12 @@ def _decode_block(meta: TiffMeta, raw: bytes, rows: int, cols: int,
         raw = zlib.decompress(raw)
     elif meta.comp == 5:
         raw = _lzw_decode(raw)
+    elif meta.comp == 32773:
+        raw = _packbits_decode(raw)
+    if meta.predictor == 3:
+        # TechNote 3 float differencing: un-diff bytes, re-interleave the
+        # big-endian byte planes (see _fp_diff)
+        return _fp_acc(raw, rows, cols, spp, meta.dtype)
     arr = np.frombuffer(raw, dtype=meta.dtype)[: rows * cols * spp] \
         .reshape(rows, cols, spp)
     if meta.predictor == 2:
@@ -646,15 +730,20 @@ def _build_level(arr: np.ndarray, *, tile, comp_code: int, predictor: int,
             from .jpeg import encode_jpeg
             return encode_jpeg(np.moveaxis(block, -1, 0),
                                quality=jpeg_quality, omit_tables=True)
-        if predictor == 2:
-            d = block.copy()
-            d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
-            block = d
-        raw = np.ascontiguousarray(block).tobytes()
+        if predictor == 3:
+            raw = _fp_diff(block, block.shape[-1])
+        else:
+            if predictor == 2:
+                d = block.copy()
+                d[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
+                block = d
+            raw = np.ascontiguousarray(block).tobytes()
         if comp_code == 8:
             return zlib.compress(raw, 6)
         if comp_code == 5:
             return _lzw_encode(raw)
+        if comp_code == 32773:
+            return _packbits_encode(raw)
         return raw
 
     planes = [chunky] if planar == 1 or c == 1 \
@@ -758,7 +847,8 @@ def write_tiff(path: str, array: np.ndarray, *,
                compress: str | None = None, predictor: int = 1,
                overviews: list[int] | None = None,
                bigtiff: bool = False, planar: int = 1,
-               jpeg_quality: int = 90) -> None:
+               jpeg_quality: int = 90,
+               overview_resampling: str = "nearest") -> None:
     """Write a (C, Y, X) or (Y, X) array as a little-endian chunky
     TIFF/BigTIFF.
 
@@ -767,7 +857,8 @@ def write_tiff(path: str, array: np.ndarray, *,
     322-325, dims must be multiples of 16 per the TIFF spec, edge tiles
     zero-padded); ``compress='deflate'`` zlib-compresses each block (tag
     259=8), ``compress='lzw'`` uses TIFF LZW with early change (tag
-    259=5) and ``compress='jpeg'`` writes new-style JPEG (tag 259=7,
+    259=5), ``compress='packbits'`` uses the byte-RLE scheme (tag
+    259=32773) and ``compress='jpeg'`` writes new-style JPEG (tag 259=7,
     TechNote 2): each block is an abbreviated baseline JPEG stream, the
     DQT/DHT tables are shared once via tag 347 (JPEGTables), photometric
     is YCbCr (6) with 4:2:0 subsampling for 3-band uint8 (tags 530/531)
@@ -777,10 +868,14 @@ def write_tiff(path: str, array: np.ndarray, *,
     single-sample
     blocks (tag 284=2, the Landsat archive layout);
     ``predictor=2`` applies horizontal differencing (tag 317,
-    integer dtypes only); ``overviews=[2, 4, ...]`` appends
-    reduced-resolution IFDs (nearest-neighbor decimation, NewSubfileType
-    =1, georef derived from level 0 by readers) — together, the standard
-    COG layout.  ``bigtiff=True`` writes format version 43 with 8-byte
+    integer dtypes only) and ``predictor=3`` the TechNote-3 floating-
+    point differencing (big-endian byte-plane split + stride-spp byte
+    diff — float dtypes only, what real DEM COGs ship);
+    ``overviews=[2, 4, ...]`` appends reduced-resolution IFDs
+    (NewSubfileType=1, georef derived from level 0 by readers;
+    ``overview_resampling='average'`` for exact block-mean anti-aliased
+    pyramids, default ``'nearest'`` keeps categorical rasters crisp) —
+    together, the standard COG layout.  ``bigtiff=True`` writes format version 43 with 8-byte
     offsets — REQUIRED for files past 4 GB, which 100 TB-scale imagery
     hits routinely.  ``transform`` (north-up affine (a,b,c,d,e,f)),
     ``epsg`` and ``nodata`` emit the GeoTIFF tags read_tiff parses back.
@@ -791,11 +886,14 @@ def write_tiff(path: str, array: np.ndarray, *,
     if arr.dtype.byteorder == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
     comp_code = {None: 1, "none": 1, "deflate": 8, "zlib": 8,
-                 "lzw": 5, "jpeg": 7}[compress]
-    if predictor not in (1, 2):
+                 "lzw": 5, "jpeg": 7, "packbits": 32773}[compress]
+    if predictor not in (1, 2, 3):
         raise ValueError(f"unsupported predictor={predictor}")
     if predictor == 2 and arr.dtype.kind == "f":
         raise ValueError("predictor=2 is integer-only (3 is the float one)")
+    if predictor == 3 and arr.dtype.kind != "f":
+        raise ValueError("predictor=3 (float differencing) needs a float "
+                         f"dtype, got {arr.dtype}")
     if planar not in (1, 2):
         raise ValueError(f"unsupported planar={planar}")
     if comp_code == 7:
@@ -813,9 +911,20 @@ def write_tiff(path: str, array: np.ndarray, *,
             raise ValueError("strip JPEG is capped at 65535 px per side "
                              "(SOF dims are 16-bit) — write tiled")
 
+    if overview_resampling not in ("nearest", "average"):
+        raise ValueError(
+            f"unsupported overview_resampling={overview_resampling!r}")
     pyramid = [arr]
     for fct in overviews or []:
-        pyramid.append(np.ascontiguousarray(arr[:, ::fct, ::fct]))
+        if overview_resampling == "average":
+            # GDAL's default for imagery overviews: exact block mean
+            # (anti-aliased zoom-outs); nearest keeps the legacy behavior
+            # and categorical rasters crisp
+            from .raster import resize_average
+            pyramid.append(np.ascontiguousarray(
+                resize_average(arr, fct, fct)))
+        else:
+            pyramid.append(np.ascontiguousarray(arr[:, ::fct, ::fct]))
 
     built = []
     for li, a in enumerate(pyramid):
