@@ -948,6 +948,38 @@ def g_lzw_tiles(spark, sf_dir):
             .orderBy("tile_id"))
 
 
+def g_dem_float_tiles(spark, sf_dir):
+    """Byte-range tiling of a FLOAT32 elevation COG written with the
+    TechNote-3 floating-point predictor (tag 317=3: big-endian byte-plane
+    split + stride-spp differencing — what real DEM GeoTIFFs ship) +
+    deflate.  Round-trips bit-exact (tests/test_tiff_extras.py), so md5
+    per decoded tile payload pins byte parity (VALUES oracle).
+    Reference parity: solaris reads DEMs via rasterio/GDAL
+    (solaris/utils/raster.py); this is the native tiffio path."""
+    import numpy as np
+
+    from solaris_spark.functions.tiffio import write_tiff
+    from solaris_spark.operators import tiling
+    path = "/tmp/solaris_spark_dem_fixture.tif"
+    yy, xx = np.mgrid[0:500, 0:640]
+    dem = (900.0 + 80.0 * np.sin(yy / 19.0) * np.cos(xx / 23.0)
+           + (yy * 7 + xx * 13) % 17 * 0.25)[None].astype(np.float32)
+    write_tiff(path, dem, tile=(256, 256), compress="deflate",
+               predictor=3, nodata=-9999.0,
+               transform=(0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0),
+               epsg=32616)
+    files = spark.createDataFrame(
+        [("dem", path, 640, 500, 0.5, 0.0, 733601.0, 0.0, -0.5,
+          3725139.0, -9999.0)],
+        "image_id string, path string, w int, h int, a double, b double, "
+        "c double, d double, e double, f double, nodata double")
+    t = tiling.raster_tiles_windowed(files, (256, 256), partitions=8)
+    return (t.select("tile_id", "tx", "ty",
+                     F.md5(F.col("pixels")).alias("tile_md5"),
+                     F.round("nodata_frac", 6).alias("nodata_frac"))
+            .orderBy("tile_id"))
+
+
 def g_jpeg_cog_tiles(spark, sf_dir):
     """Byte-range tiling of a JPEG-compressed COG (TIFF compression 7,
     TechNote 2) — the layout of most real-world aerial/satellite COGs:
@@ -1552,6 +1584,22 @@ SELECT * FROM (VALUES
   ('jcog_733857_3725145', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '02a3a399379d40f42f69919971939607', CAST(0.523438 AS DOUBLE))
 ) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
 """
+
+# Pinned output of g_dem_float_tiles: byte-range tiling of a float32
+# predictor-3 (TechNote 3) + deflate elevation COG (deterministic
+# content; bit-exact float round-trip proven in tests/test_tiff_extras.py
+# — md5 per decoded tile payload).
+SQL_DEM_FLOAT_TILES = """
+SELECT * FROM (VALUES
+  ('dem_733601_3725017', CAST(0 AS INTEGER), CAST(0 AS INTEGER), '039f6b0b5ff908cc1717ba177901aae2', CAST(0.0 AS DOUBLE)),
+  ('dem_733601_3725145', CAST(0 AS INTEGER), CAST(1 AS INTEGER), '83575d65123a75d565109ffcf68e0784', CAST(0.046875 AS DOUBLE)),
+  ('dem_733729_3725017', CAST(1 AS INTEGER), CAST(0 AS INTEGER), 'c9bb7e110b1c5ade3764f3f68b830828', CAST(0.0 AS DOUBLE)),
+  ('dem_733729_3725145', CAST(1 AS INTEGER), CAST(1 AS INTEGER), 'e26bd4ee3f2aca3e30133e381f610657', CAST(0.046875 AS DOUBLE)),
+  ('dem_733857_3725017', CAST(2 AS INTEGER), CAST(0 AS INTEGER), 'a3559f1fdb99a7d882cf2c5beadf16dc', CAST(0.5 AS DOUBLE)),
+  ('dem_733857_3725145', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '83921b1020fde222552230d6b6195f29', CAST(0.523438 AS DOUBLE))
+) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
+"""
+
 
 
 
@@ -2254,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_tiles_cog": g_windowed_tiles_cog,
         "lzw_tiles": g_lzw_tiles,
         "jpeg_cog_tiles": g_jpeg_cog_tiles,
+        "dem_float_tiles": g_dem_float_tiles,
         "overview_tiles": g_overview_tiles,
         "bigtiff_tiles": g_bigtiff_tiles,
         "resize_stats": g_resize_stats,
@@ -2317,6 +2366,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_tiles_cog": SQL_WINDOWED_TILES_COG,
         "lzw_tiles": SQL_LZW_TILES,
         "jpeg_cog_tiles": SQL_JPEG_COG_TILES,
+        "dem_float_tiles": SQL_DEM_FLOAT_TILES,
         "overview_tiles": SQL_OVERVIEW_TILES,
         "bigtiff_tiles": SQL_BIGTIFF_TILES,
         "resize_stats": SQL_RESIZE_STATS,
