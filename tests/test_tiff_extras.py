@@ -150,3 +150,46 @@ class TestOverviewResampling:
             tiffio.write_tiff(str(tmp_path / "x.tif"),
                               np.zeros((1, 32, 32), dtype=np.uint8),
                               overviews=[2], overview_resampling="cubic")
+
+
+class TestCodecFuzz:
+    """Property-based round-trips for the byte codecs (hypothesis)."""
+
+    def test_packbits_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=2048))
+        def rt(data):
+            assert tiffio._packbits_decode(
+                tiffio._packbits_encode(data)) == data
+
+        rt()
+
+    def test_lzw_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.binary(max_size=4096))
+        def rt(data):
+            assert tiffio._lzw_decode(tiffio._lzw_encode(data)) == data
+
+        rt()
+
+    def test_fp_predictor_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(1, 5), st.integers(1, 9), st.integers(1, 4),
+               st.integers(0, 2 ** 32 - 1))
+        def rt(rows, cols, spp, seed):
+            rng = np.random.default_rng(seed)
+            block = rng.normal(0, 1e4, (rows, cols, spp)).astype(np.float32)
+            raw = tiffio._fp_diff(block, spp)
+            back = tiffio._fp_acc(raw, rows, cols, spp, np.dtype("<f4"))
+            assert np.array_equal(back, block)
+
+        rt()
