@@ -119,3 +119,70 @@ class TestBandMath:
                 .reshape(1, r["h"], r["w"])
             want = (a[1] - a[0]) / (a[1] + a[0])
             assert np.allclose(got[0], want, atol=1e-12)
+
+
+class TestEvalHelpers:
+    def test_with_prf_zero_conventions(self, spark):
+        """Reference convention (base.py:184-195): undefined P/R/F1 → 0."""
+        from solaris_spark.operators.evalops import with_prf
+        df = spark.createDataFrame(
+            [("a", 8, 2, 4), ("b", 0, 0, 5), ("c", 0, 3, 0),
+             ("d", 0, 0, 0)],
+            "k string, TruePos long, FalsePos long, FalseNeg long")
+        got = {r["k"]: r for r in with_prf(df).collect()}
+        assert got["a"]["Precision"] == pytest.approx(0.8)
+        assert got["a"]["Recall"] == pytest.approx(8 / 12)
+        assert got["a"]["F1Score"] == pytest.approx(
+            2 * 0.8 * (8 / 12) / (0.8 + 8 / 12))
+        for k in ("b", "c", "d"):
+            assert got[k]["Precision"] == 0.0 or k == "b"
+            assert got[k]["F1Score"] == 0.0
+        assert got["b"]["Recall"] == 0.0
+
+
+class TestGraphInterop:
+    def test_to_networkx_roundtrip(self, spark):
+        import math
+
+        from solaris_spark.operators import graph
+        roads = spark.createDataFrame(
+            [(1, "LINESTRING (0 0, 3 4)", "primary"),
+             (2, "LINESTRING (3 4, 6 0)", "primary")],
+            "road_id long, wkt string, type string")
+        nodes, edges = graph.build_graph(roads, type_col="type")
+        g = graph.to_networkx(nodes, edges)
+        assert g.number_of_nodes() == 3
+        assert g.number_of_edges() == 2
+        for _u, _v, d in g.edges(data=True):
+            assert d["weight"] == pytest.approx(5.0)
+        xs = {round(d["x"], 6) for _n, d in g.nodes(data=True)}
+        assert xs == {0.0, 3.0, 6.0}
+
+
+class TestImopsHelpers:
+    def test_rescale_arr_auto_and_explicit(self):
+        from solaris_spark.functions.imops import rescale_arr
+        a = np.stack([np.linspace(10, 20, 12).reshape(3, 4),
+                      np.linspace(0, 100, 12).reshape(3, 4)], axis=2)
+        out = rescale_arr(a, "uint8")
+        assert out.min() == 0 and out.max() == 255
+        exp = rescale_arr(a, "uint8", rescale_min=[10, 0],
+                          rescale_max=[20, 100])
+        assert np.array_equal(out, exp)
+
+    def test_scale_for_model_modes(self):
+        from solaris_spark.functions.imops import scale_for_model
+        a = np.array([[0.0, 2.0], [4.0, 8.0]])
+        assert scale_for_model(a) is a
+        assert np.allclose(scale_for_model(a, "normalized"), a / 8.0)
+        z = scale_for_model(a, "zscored")
+        assert abs(z.mean()) < 1e-12 and abs(z.std() - 1) < 1e-12
+
+    def test_reorder_axes_heuristic(self):
+        from solaris_spark.functions.imops import reorder_axes
+        chw = np.zeros((3, 64, 64))
+        hwc = np.zeros((64, 64, 3))
+        assert reorder_axes(chw, "tensorflow").shape == (64, 64, 3)
+        assert reorder_axes(hwc, "tensorflow").shape == (64, 64, 3)
+        assert reorder_axes(hwc, "torch").shape == (3, 64, 64)
+        assert reorder_axes(chw, "torch").shape == (3, 64, 64)
