@@ -948,6 +948,39 @@ def g_lzw_tiles(spark, sf_dir):
             .orderBy("tile_id"))
 
 
+def g_overview_avg_tiles(spark, sf_dir):
+    """Zoom-out serving from an AVERAGE-resampled pyramid
+    (write_tiff(overview_resampling='average') — GDAL's imagery default:
+    exact block-mean levels instead of nearest decimation), tiled through
+    raster_tiles_windowed(level=1).  Smooth deterministic content so
+    average vs nearest genuinely differ; exactness of the block-mean
+    kernel is pinned in tests/test_tiff_extras.py; md5 VALUES oracle."""
+    import numpy as np
+
+    from solaris_spark.functions.tiffio import write_tiff
+    from solaris_spark.operators import tiling
+    path = "/tmp/solaris_spark_avgpyr_fixture.tif"
+    yy, xx = np.mgrid[0:600, 0:560]
+    arr = np.stack([
+        (128 + 90 * np.sin(yy / 31.0 + c) * np.cos(xx / 27.0 - c))
+        for c in range(3)]).clip(0, 255).astype(np.uint8)
+    write_tiff(path, arr, tile=(128, 128), compress="deflate", predictor=2,
+               overviews=[2], overview_resampling="average",
+               transform=(0.5, 0.0, 733601.0, 0.0, -0.5, 3725139.0),
+               epsg=32616)
+    files = spark.createDataFrame(
+        [("avg", path, 280, 300, 1.0, 0.0, 733601.0, 0.0, -1.0,
+          3725139.0, None)],
+        "image_id string, path string, w int, h int, a double, b double, "
+        "c double, d double, e double, f double, nodata double")
+    t = tiling.raster_tiles_windowed(files, (128, 128), partitions=8,
+                                     level=1)
+    return (t.select("tile_id", "tx", "ty",
+                     F.md5(F.col("pixels")).alias("tile_md5"),
+                     F.round("nodata_frac", 6).alias("nodata_frac"))
+            .orderBy("tile_id"))
+
+
 def g_dem_float_tiles(spark, sf_dir):
     """Byte-range tiling of a FLOAT32 elevation COG written with the
     TechNote-3 floating-point predictor (tag 317=3: big-endian byte-plane
@@ -1599,6 +1632,24 @@ SELECT * FROM (VALUES
   ('dem_733857_3725145', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '83921b1020fde222552230d6b6195f29', CAST(0.523438 AS DOUBLE))
 ) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
 """
+
+# Pinned output of g_overview_avg_tiles: level-1 tiling of an
+# average-resampled pyramid (exact block-mean kernel pinned in
+# tests/test_tiff_extras.py; md5 per decoded tile payload).
+SQL_OVERVIEW_AVG_TILES = """
+SELECT * FROM (VALUES
+  ('avg_733601_3724967', CAST(0 AS INTEGER), CAST(0 AS INTEGER), '877873219f1ec358cce35b6be103f5fc', CAST(0.0 AS DOUBLE)),
+  ('avg_733601_3725095', CAST(0 AS INTEGER), CAST(1 AS INTEGER), '9a5ce49131292397405dea7d6aba6212', CAST(0.0 AS DOUBLE)),
+  ('avg_733601_3725223', CAST(0 AS INTEGER), CAST(2 AS INTEGER), '475a627bd436276165054d311a24f043', CAST(0.65625 AS DOUBLE)),
+  ('avg_733729_3724967', CAST(1 AS INTEGER), CAST(0 AS INTEGER), 'cd34d6f4442eca7bb8c3f6d59ba27cad', CAST(0.0 AS DOUBLE)),
+  ('avg_733729_3725095', CAST(1 AS INTEGER), CAST(1 AS INTEGER), '67c87ade26423912959cf2c5b926ecfc', CAST(0.0 AS DOUBLE)),
+  ('avg_733729_3725223', CAST(1 AS INTEGER), CAST(2 AS INTEGER), '951491a9c05611ee57a64460081f993e', CAST(0.65625 AS DOUBLE)),
+  ('avg_733857_3724967', CAST(2 AS INTEGER), CAST(0 AS INTEGER), 'af99e319ded15ee92a4a4dcff5de2e81', CAST(0.8125 AS DOUBLE)),
+  ('avg_733857_3725095', CAST(2 AS INTEGER), CAST(1 AS INTEGER), '2b32c8ae9d0f456775275a69f60f4db9', CAST(0.8125 AS DOUBLE)),
+  ('avg_733857_3725223', CAST(2 AS INTEGER), CAST(2 AS INTEGER), '14a9f2d9a95c0ca9f1ebc8bb9278092e', CAST(0.935547 AS DOUBLE))
+) AS t(tile_id, tx, ty, tile_md5, nodata_frac)
+"""
+
 
 
 
@@ -2303,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lzw_tiles": g_lzw_tiles,
         "jpeg_cog_tiles": g_jpeg_cog_tiles,
         "dem_float_tiles": g_dem_float_tiles,
+        "overview_avg_tiles": g_overview_avg_tiles,
         "overview_tiles": g_overview_tiles,
         "bigtiff_tiles": g_bigtiff_tiles,
         "resize_stats": g_resize_stats,
@@ -2367,6 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         "lzw_tiles": SQL_LZW_TILES,
         "jpeg_cog_tiles": SQL_JPEG_COG_TILES,
         "dem_float_tiles": SQL_DEM_FLOAT_TILES,
+        "overview_avg_tiles": SQL_OVERVIEW_AVG_TILES,
         "overview_tiles": SQL_OVERVIEW_TILES,
         "bigtiff_tiles": SQL_BIGTIFF_TILES,
         "resize_stats": SQL_RESIZE_STATS,
