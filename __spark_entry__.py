@@ -172,7 +172,13 @@ def q_conf_cumsum(spark, sf_dir):
     literal bucket offsets) — the single-partition Window.orderBy plan
     this replaces moves every row to one task at scale."""
     from solaris_spark.plans.prefix import global_running_agg
-    o = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    # project to the 2 needed columns BEFORE the prefix machinery: the
+    # bucketed frame is shuffled/windowed, so dropping the other 7 orders
+    # columns shrinks every exchange (guide §2.3 "project before the
+    # exchange"); output is unchanged.
+    o = (_load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") <= 2000)
+         .select("o_orderkey", "o_totalprice"))
     out = global_running_agg(
         o, "o_totalprice",
         {"cum_n": F.lit(1), "cum_price_d": _dec(F.col("o_totalprice"))},
@@ -269,7 +275,13 @@ GROUP BY kind, s_nationkey ORDER BY kind, s_nationkey
 def q_percentiles(spark, sf_dir):
     """Exact interpolated percentiles — t-digest analogue
     (raster/image.py:226-306 → built-in percentile)."""
-    li = _load(spark, sf_dir, "lineitem")
+    from solaris_spark.plans.skew import ensure_parallelism
+    # exact percentile buffers every value: parallelize the buffer-build
+    # when the scan is narrower than the cluster (single-row-group file →
+    # 1 task otherwise; no-op at real scale — guide §2.5)
+    li = ensure_parallelism(
+        _load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice"))
     out = (li.groupBy("l_returnflag")
            .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
                 F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
@@ -537,14 +549,22 @@ def q_embedding_knn(spark, sf_dir):
     """Brute-force cosine top-k over the embedding column — the ANN
     baseline (IVF/LSH scale path in operators/ann.py)."""
     e = _load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    t = e.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("tv"))
+    # r6 perf: norms are per-VECTOR quantities — computing them before the
+    # cross join evaluates each one once instead of once per PAIR (the
+    # expression and its fold order are unchanged, so the float values are
+    # bit-identical to the joined evaluation); the 20-row query side is
+    # spread so the pair scoring isn't one task (guide §2.5: the
+    # single-row-group scan otherwise serializes the whole fold).
+    norm = "sqrt(aggregate({0}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    q = (e.filter(F.col("vec_id") < 20)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+         .withColumn("nq", F.expr(norm.format("qv")))
+         .repartition("qid"))
+    t = (e.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("tv"))
+         .withColumn("nt", F.expr(norm.format("tv"))))
     j = q.crossJoin(t).filter(F.col("qid") != F.col("tid"))
     dot = F.expr("aggregate(zip_with(qv, tv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x)")
-    nq = F.expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    nt = F.expr("sqrt(aggregate(tv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    j = j.withColumn("cosine", F.round(dot / (nq * nt), 6))
+    j = j.withColumn("cosine", F.round(dot / (F.col("nq") * F.col("nt")), 6))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("tid"))
     return (j.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 5)

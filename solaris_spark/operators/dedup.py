@@ -20,6 +20,13 @@ def _md5_int(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Cluster-parallelism guard for the CPU-heavy shingle/token hashing
+    stages (plans.skew.ensure_parallelism; guide §2.5 input-skew fix)."""
+    from ..plans.skew import ensure_parallelism
+    return ensure_parallelism(df)
+
+
 def _shingles(df: DataFrame, text_col: str, n: int = 3):
     """Distinct word n-gram shingles exploded to (id cols…, s)."""
     toks = F.split(F.col(text_col), " ")
@@ -52,7 +59,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     the FULL shingle-set sizes, so capped scores are a lower bound of the
     exact ones (capped-out shingles can only lose intersection credit).
     None = exact."""
-    sh = _shingles(docs.select(id_col, text_col), text_col, n) \
+    sh = _shingles(_spread(docs.select(id_col, text_col)), text_col, n) \
         .select(F.col(id_col).alias("_id"), "s")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
@@ -83,7 +90,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     h1/h2 = two 32-bit words of the digest) — 16× less hashing on the
     dominant stage vs one md5 per family member (VERDICT r01), still
     bit-reproducible in DuckDB.  One shuffle (groupBy id)."""
-    sh = _shingles(docs.select(id_col, text_col), text_col, shingle_n)
+    sh = _shingles(_spread(docs.select(id_col, text_col)), text_col, shingle_n)
     hashed = sh.select(
         id_col,
         F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
@@ -130,7 +137,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     One conditional aggregate per bit over the token rows (map-side
     partial agg; NO bit explosion — the previous formulation shuffled
     tokens×bits rows, 32× the input; VERDICT r01 #5).  All JVM-side."""
-    tok = (docs.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+    tok = (_spread(docs.select(id_col, text_col))
+           .select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
            .withColumn("h", _md5_int(F.col("tok"))))
     sums = [F.sum(F.when(F.expr(f"shiftrightunsigned(h, {b}) % 2") == 1,
                          1).otherwise(-1)).alias(f"s{b}")

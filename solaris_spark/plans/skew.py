@@ -41,6 +41,22 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     return out.drop("_salt")
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Rebalance `df` to cluster parallelism IF its scan is narrower than
+    the cluster (guide §2.5 input-skew: "one huge unsplittable file …
+    repartition immediately after the read").
+
+    A single-row-group parquet file scans as ONE task no matter how many
+    cores exist, serializing whatever CPU-heavy stage it feeds (shingle
+    hashing, exact percentiles).  Only acts when the planned scan is
+    narrower than ``defaultParallelism`` — at real scale inputs split into
+    >= cores tasks and this returns `df` unchanged (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def repartition_by_range(df: DataFrame, n: int, *cols) -> DataFrame:
     """Range repartition (default: Z-order cell then image_id) — balances
     tile-density skew while keeping spatial locality within partitions."""

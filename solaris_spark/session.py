@@ -19,6 +19,21 @@ import os
 
 from pyspark.sql import SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_worker_pythonpath() -> None:
+    """Make the engine package importable in Python worker/daemon processes
+    regardless of the driver's cwd: the custom daemon module
+    (``spark.python.daemon.module=solaris_spark.pydaemon``) and every
+    module-referenced UDF must import ``solaris_spark`` executor-side.
+    Must run BEFORE the JVM gateway launches (the daemon inherits the
+    driver JVM's environment)."""
+    existing = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _REPO_ROOT + (os.pathsep + existing if existing else ""))
+
 
 def get_spark(app_name: str = "solaris_spark",
               cores: int | str | None = None,
@@ -30,6 +45,7 @@ def get_spark(app_name: str = "solaris_spark",
     master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores in ("*",) else max(int(cores), 4)
+    _ensure_worker_pythonpath()
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -40,9 +56,18 @@ def get_spark(app_name: str = "solaris_spark",
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # images are MB-scale binary blobs: keep Arrow batches small so one
-        # batch ≪ executor memory at 100 TB scale
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # images are MB-scale binary blobs: bound Arrow batches by BYTES
+        # (one batch ≪ executor memory at 100 TB scale) instead of a blanket
+        # 64-row cap that shredded thin-row UDF stages into per-batch
+        # overhead (r6: WKT/text rows are ~100 B, so 64-row batches meant
+        # ~100× more Python round-trips than the 10k-row default).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
+        # stock pyspark.daemon pays ~300 ms/task (zipimporter re-reads in
+        # importlib.invalidate_caches + full gc.collect between tasks) —
+        # see solaris_spark/pydaemon.py for the measurements and fix
+        .config("spark.python.daemon.module", "solaris_spark.pydaemon")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
