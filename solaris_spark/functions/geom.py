@@ -152,7 +152,19 @@ def ring_signed_area(ring: np.ndarray) -> float:
     # center first: raw geo coords (~1e6) lose ~10 digits to cancellation
     x = ring[:, 0] - ring[0, 0]
     y = ring[:, 1] - ring[0, 1]
-    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    # build the rotated-by-one arrays directly instead of np.roll (this is
+    # the hottest scalar kernel: per-candidate clip refine + rasterizer
+    # orientation; np.roll's axis normalization was ~60% of its runtime).
+    # Contents are identical to np.roll(·, -1), so np.dot — whose pairwise
+    # summation depends only on length/layout — returns bit-identical
+    # values.
+    yr = np.empty_like(y)
+    yr[:-1] = y[1:]
+    yr[-1] = y[0]
+    xr = np.empty_like(x)
+    xr[:-1] = x[1:]
+    xr[-1] = x[0]
+    return 0.5 * float(np.dot(x, yr) - np.dot(y, xr))
 
 
 def polygon_area(wkt_or_rings) -> float:

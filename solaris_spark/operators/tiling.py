@@ -466,6 +466,16 @@ def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
     # candidate tile indices from label bbox ⋈ grid bounds — computed by
     # joining on image_id with a bbox-range predicate is a theta join; to
     # stay equi, explode label bboxes into covering tile indices.
+    #
+    # The grid side feeds two bounded plans (the per-image span aggregate
+    # and the broadcast/join build).  When the grid arrives over-split
+    # (e.g. a cached frame inheriting a repartition(4×cores) from the
+    # pixel pipeline), scanning it at that width costs a task dispatch per
+    # sliver; coalesce down to cluster width — a no-op whenever the grid
+    # is already at or below it (guide §6 small-inputs / task-overhead).
+    width = grid.sparkSession.sparkContext.defaultParallelism
+    if grid.rdd.getNumPartitions() > width:
+        grid = grid.coalesce(width)
     g = grid.alias("g")
     lab = labels_geo_df.alias("l")
 
@@ -507,14 +517,34 @@ def vector_tiles(labels_geo_df: DataFrame, grid: DataFrame,
     ]))
     def clip(wkt: pd.Series, xmin: pd.Series, ymin: pd.Series,
              xmax: pd.Series, ymax: pd.Series) -> pd.DataFrame:
+        import math
         wkts, pixs, oas, cas = [], [], [], []
+        # a label spans ~3-4 candidate tiles, so its WKT recurs within the
+        # batch: parse + signed areas once per distinct geometry (r6;
+        # values reused verbatim, so results are unchanged)
+        parsed: dict = {}
         for i in range(len(wkt)):
-            rings = G.polygon_rings(wkt.iat[i])
+            w = wkt.iat[i]
+            ent = parsed.get(w)
+            if ent is None:
+                rings = G.polygon_rings(w)
+                sas = [G.ring_signed_area(r) for r in rings]
+                ent = (rings, sas, abs(sum(sas)))
+                parsed[w] = ent
+            rings, sas, oa = ent
             rect = (xmin.iat[i], ymin.iat[i], xmax.iat[i], ymax.iat[i])
-            oa = abs(sum(G.ring_signed_area(r) for r in rings))
-            clipped = [G.clip_ring_rect(r, rect) for r in rings]
-            clipped = [r for r in clipped if len(r) >= 4]
-            ca = G.clip_polygon_rect_area(rings, rect)
+            # ONE Sutherland–Hodgman pass per ring: the kept output rings
+            # and the clip area both come from the same clip results
+            # (previously clip_polygon_rect_area re-clipped every ring —
+            # identical math, evaluated twice)
+            clipped_all = [G.clip_ring_rect(r, rect) for r in rings]
+            total = 0.0
+            for rc, s in zip(clipped_all, sas):
+                if len(rc):
+                    total += math.copysign(abs(G.ring_signed_area(rc)), 1.0) \
+                        * (1.0 if s >= 0 else -1.0)
+            ca = abs(total)
+            clipped = [r for r in clipped_all if len(r) >= 4]
             wkts.append(G.wkt_dump("POLYGON", clipped) if clipped else None)
             oas.append(oa)
             cas.append(ca)
