@@ -821,9 +821,22 @@ def offset_curve(ring: np.ndarray, radius: float, quad_segs: int = 16) -> np.nda
     n = len(pts)
     s = 1.0 if ring_signed_area(ring) > 0 else -1.0
     quantum = math.pi / 2.0 / quad_segs
-    dxs = np.roll(pts[:, 0], -1) - pts[:, 0]
-    dys = np.roll(pts[:, 1], -1) - pts[:, 1]
-    lens = np.sqrt(dxs ** 2 + dys ** 2)
+    px_ = pts[:, 0]
+    py_ = pts[:, 1]
+    # rotate-by-one without np.roll (identical contents; every downstream
+    # op is elementwise, so values are bit-identical) — and work on Python
+    # floats in the per-vertex loop: identical IEEE doubles, ~3× less
+    # scalar-indexing overhead on the masks hot path
+    nx_ = np.concatenate((px_[1:], px_[:1]))
+    ny_ = np.concatenate((py_[1:], py_[:1]))
+    dxs_a = nx_ - px_
+    dys_a = ny_ - py_
+    lens_a = np.sqrt(dxs_a ** 2 + dys_a ** 2)
+    xs = px_.tolist()
+    ys = py_.tolist()
+    dxs = dxs_a.tolist()
+    dys = dys_a.tolist()
+    lens = lens_a.tolist()
     out = []
     for i in range(n):
         j = (i - 1) % n
@@ -836,7 +849,7 @@ def offset_curve(ring: np.ndarray, radius: float, quad_segs: int = 16) -> np.nda
         else:
             n1 = (-dys[j] / lens[j], dxs[j] / lens[j])
             n2 = (-dys[i] / lens[i], dxs[i] / lens[i])
-        vx, vy = pts[i, 0], pts[i, 1]
+        vx, vy = xs[i], ys[i]
         p1 = (vx + radius * n1[0], vy + radius * n1[1])  # end of offset edge j
         p2 = (vx + radius * n2[0], vy + radius * n2[1])  # start of offset edge i
         cross = dxs[j] * dys[i] - dys[j] * dxs[i]

@@ -148,6 +148,113 @@ def rasterize_rings(rings: list[np.ndarray], shape: tuple[int, int],
     return out
 
 
+def rasterize_count_groups(ring_groups: list[list[np.ndarray]],
+                           shape: tuple[int, int],
+                           winding: bool = False) -> np.ndarray:
+    """Coverage COUNTS over many polygons in ONE vectorized pass: returns an
+    int32 (H, W) array where each pixel holds the number of `ring_groups`
+    entries covering it (each group = one polygon's rings, filled even-odd,
+    or nonzero-winding when ``winding``).
+
+    Bit-equivalent to looping ``rasterize_rings(accumulate=True)`` per
+    group — the edges, scanline positions ``r + 0.5``, intersection xs,
+    within-row x-ordering, and the ``floor(x + 0.5)`` column ties are the
+    same expressions — but the per-group python/numpy fixed cost (~40 array
+    ops per call) is paid once for the whole batch: the group id simply
+    becomes the leading sort key, so pairing/winding runs restart per
+    (group, row) instead of per row of one polygon.  This is the mask
+    kernel's hot path (a SpaceNet-like image carries 100-250 footprints).
+    """
+    h, w = shape
+    counts = np.zeros((h, w), dtype=np.int32)
+    ex1l, ey1l, ex2l, ey2l, egl = [], [], [], [], []
+    for gi, rings in enumerate(ring_groups):
+        for ring in rings:
+            if len(ring) < 2:
+                continue
+            ex1l.append(ring[:-1, 0]); ey1l.append(ring[:-1, 1])
+            ex2l.append(ring[1:, 0]); ey2l.append(ring[1:, 1])
+            egl.append(np.full(len(ring) - 1, gi, dtype=np.int64))
+    if not ex1l:
+        return counts
+    ex1 = np.concatenate(ex1l); ey1 = np.concatenate(ey1l)
+    ex2 = np.concatenate(ex2l); ey2 = np.concatenate(ey2l)
+    egrp = np.concatenate(egl)
+    flip = ey1 > ey2
+    ex1f = np.where(flip, ex2, ex1); ey1f = np.where(flip, ey2, ey1)
+    ex2f = np.where(flip, ex1, ex2); ey2f = np.where(flip, ey1, ey2)
+    nonh = ey1f != ey2f
+    ex1f, ey1f, ex2f, ey2f = ex1f[nonh], ey1f[nonh], ex2f[nonh], ey2f[nonh]
+    egrp = egrp[nonh]
+    if len(ex1f) == 0:
+        return counts
+
+    slope = (ex2f - ex1f) / (ey2f - ey1f)
+    esign = np.where(flip[nonh], -1, 1).astype(np.int64)
+
+    r0 = np.maximum(np.ceil(ey1f - 0.5), 0).astype(np.int64)
+    r1 = np.minimum(np.ceil(ey2f - 0.5) - 1, h - 1).astype(np.int64)
+    cnt = np.maximum(r1 - r0 + 1, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return counts
+    eidx = np.repeat(np.arange(len(ex1f)), cnt)
+    offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    rows = r0[eidx] + offs
+    dys = rows + 0.5
+    xs = ex1f[eidx] + (dys - ey1f[eidx]) * slope[eidx]
+    grp = egrp[eidx]
+
+    # (group, row) replaces row as the segment key — everything after is
+    # the same pairing/winding logic rasterize_rings applies per call
+    order = np.lexsort((xs, rows, grp))
+    grp_s = grp[order]
+    rows_s = rows[order]
+    xs_s = xs[order]
+    newseg = np.empty(total, dtype=bool)
+    newseg[0] = True
+    newseg[1:] = (rows_s[1:] != rows_s[:-1]) | (grp_s[1:] != grp_s[:-1])
+    seg_start = np.where(newseg)[0]
+    seg_len = np.diff(np.append(seg_start, total))
+
+    if winding:
+        sgn = esign[eidx][order]
+        csum = np.cumsum(sgn)
+        base = np.repeat(np.where(newseg, csum - sgn, 0)[seg_start], seg_len)
+        run = csum - base
+        covered = (run != 0)
+        last_in_seg = np.empty(total, dtype=bool)
+        last_in_seg[:-1] = newseg[1:]
+        last_in_seg[-1] = True
+        take = covered & ~last_in_seg
+        starts = np.floor(xs_s[take] + 0.5).astype(np.int64)
+        ends = np.floor(xs_s[np.where(take)[0] + 1] + 0.5).astype(np.int64)
+        srows = rows_s[take]
+    else:
+        pos_in_seg = np.arange(total) - np.repeat(seg_start, seg_len)
+        even = (pos_in_seg % 2) == 0
+        starts = np.floor(xs_s[even] + 0.5).astype(np.int64)
+        ends = np.floor(xs_s[~even] + 0.5).astype(np.int64)
+        srows = rows_s[even]
+
+    keep = (ends > starts) & (starts < w) & (ends > 0)
+    if not keep.any():
+        return counts
+    starts = np.clip(starts[keep], 0, w)
+    ends = np.clip(ends[keep], 0, w)
+    srows = srows[keep]
+    # within one group, covered intervals of a row are disjoint half-open
+    # spans, so the +1/−1 difference array accumulates exactly +1 per
+    # covering group per pixel; one cumsum over the full frame replaces a
+    # bbox cumsum per polygon
+    diff = np.zeros(h * (w + 1), dtype=np.int32)
+    np.add.at(diff, srows * (w + 1) + starts, 1)
+    np.add.at(diff, srows * (w + 1) + ends, -1)
+    np.cumsum(diff.reshape(h, w + 1), axis=1, out=diff.reshape(h, w + 1))
+    counts += diff.reshape(h, w + 1)[:, :w]
+    return counts
+
+
 def rasterize_shapes(shapes, shape: tuple[int, int],
                      transform=None, dtype=np.uint8) -> np.ndarray:
     """features.rasterize equivalent: list of (rings, burn_value) burned in

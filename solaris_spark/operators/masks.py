@@ -53,7 +53,11 @@ def build_mask_arrays(wkts: list[str], shape: tuple[int, int],
     out = {}
     fp = None
     if set(channels) & {"footprint", "boundary", "contact"}:
-        fp = R.rasterize_shapes([(r, burn_value) for r in ring_sets], shape)
+        # single batched scanline pass over ALL footprints (r6): identical
+        # pairing math per label (rasterize_count_groups), union == any
+        # coverage since every shape burns the same value
+        cnt_fp = R.rasterize_count_groups(ring_sets, shape)
+        fp = np.where(cnt_fp > 0, np.uint8(burn_value), np.uint8(0))
     if "footprint" in channels:
         out["footprint"] = fp
     if "boundary" in channels:
@@ -63,13 +67,14 @@ def build_mask_arrays(wkts: list[str], shape: tuple[int, int],
             b = R.erosion_square(fp, boundary_width) ^ fp
         out["boundary"] = (b > 0).astype(np.uint8) * burn_value
     if "contact" in channels:
-        cnt = np.zeros(shape, dtype=np.int32)
-        for rings in ring_sets:
-            # in-place bbox-window accumulation: O(bbox) traffic per label
-            # instead of full-frame bool + astype(int32) + add (~8 MB/label
-            # at 1000 px — the memory-bandwidth hot spot at high cores)
-            R.rasterize_geos_buffer(rings, contact_spacing / 2.0, shape,
-                                    out=cnt, accumulate=True)
+        # one batched winding pass over every label's GEOS-parity offset
+        # curve: counts == the per-label accumulate loop this replaces
+        # (each covering label contributes exactly +1 per pixel)
+        curve_groups = [
+            [G.offset_curve(r, contact_spacing / 2.0)
+             for r in rings if len(r) >= 4]
+            for rings in ring_sets]
+        cnt = R.rasterize_count_groups(curve_groups, shape, winding=True)
         c = (cnt >= 2) & (fp == 0)
         out["contact"] = c.astype(np.uint8) * burn_value
     return np.stack([out[c] for c in channels], axis=-1)
