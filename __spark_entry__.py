@@ -275,13 +275,12 @@ GROUP BY kind, s_nationkey ORDER BY kind, s_nationkey
 def q_percentiles(spark, sf_dir):
     """Exact interpolated percentiles — t-digest analogue
     (raster/image.py:226-306 → built-in percentile)."""
-    from solaris_spark.plans.skew import ensure_parallelism
-    # exact percentile buffers every value: parallelize the buffer-build
-    # when the scan is narrower than the cluster (single-row-group file →
-    # 1 task otherwise; no-op at real scale — guide §2.5)
-    li = ensure_parallelism(
-        _load(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_quantity", "l_extendedprice"))
+    # project to the 3 needed columns; deliberately NOT rebalanced: the
+    # serial floor of exact percentile is the per-group final merge+sort
+    # (3 groups), so a pre-shuffle only adds cost — measured plain 1.09s
+    # vs repartition(32) 1.23s warm at sf0.1 (OPTIMIZATION_r06.md)
+    li = _load(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
     out = (li.groupBy("l_returnflag")
            .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
                 F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
