@@ -554,15 +554,23 @@ def q_embedding_knn(spark, sf_dir):
     # bit-identical to the joined evaluation); the 20-row query side is
     # spread so the pair scoring isn't one task (guide §2.5: the
     # single-row-group scan otherwise serializes the whole fold).
-    norm = "sqrt(aggregate({0}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    # the element casts are also per-vector work: casting each side to a
+    # double array ONCE (transform) before the join leaves the per-pair
+    # fold as a bare multiply-accumulate — same products in the same fold
+    # order, so cosine is bit-identical
+    norm = "sqrt(aggregate({0}, 0D, (acc, x) -> acc + x * x))"
     q = (e.filter(F.col("vec_id") < 20)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-         .withColumn("nq", F.expr(norm.format("qv")))
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+                 F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                 .alias("qvd"))
+         .withColumn("nq", F.expr(norm.format("qvd")))
          .repartition("qid"))
-    t = (e.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("tv"))
-         .withColumn("nt", F.expr(norm.format("tv"))))
+    t = (e.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("tv"),
+                  F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                  .alias("tvd"))
+         .withColumn("nt", F.expr(norm.format("tvd"))))
     j = q.crossJoin(t).filter(F.col("qid") != F.col("tid"))
-    dot = F.expr("aggregate(zip_with(qv, tv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x)")
+    dot = F.expr("aggregate(zip_with(qvd, tvd, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
     j = j.withColumn("cosine", F.round(dot / (F.col("nq") * F.col("nt")), 6))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("tid"))
     return (j.withColumn("rank", F.row_number().over(w))

@@ -41,7 +41,8 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     return out.drop("_salt")
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(df: DataFrame,
+                       min_bytes: int | None = None) -> DataFrame:
     """Rebalance `df` to cluster parallelism IF its scan is narrower than
     the cluster (guide §2.5 input-skew: "one huge unsplittable file …
     repartition immediately after the read").
@@ -50,8 +51,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     cores exist, serializing whatever CPU-heavy stage it feeds (shingle
     hashing, exact percentiles).  Only acts when the planned scan is
     narrower than ``defaultParallelism`` — at real scale inputs split into
-    >= cores tasks and this returns `df` unchanged (no shuffle added)."""
+    >= cores tasks and this returns `df` unchanged (no shuffle added).
+
+    ``min_bytes``: additionally require the optimizer's size estimate to
+    reach this floor before rebalancing — for stages whose per-byte CPU
+    amplification is modest, a small input is cheaper to process serially
+    than to shuffle first (measured: simhash at sf0.1 lost ~0.1-0.3 s to
+    an unconditional rebalance)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if min_bytes is not None:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+        if est < min_bytes:
+            return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

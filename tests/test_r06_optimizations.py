@@ -143,6 +143,16 @@ class TestEnsureParallelism:
         wide = spark.range(0, 1000, 1, width * 2)
         assert ensure_parallelism(wide) is wide
 
+    def test_size_floor_skips_small_inputs(self, spark):
+        from solaris_spark.plans.skew import ensure_parallelism
+        narrow = spark.range(0, 1000, 1, 1)
+        # tiny input under the floor: returned unchanged (no shuffle)
+        assert ensure_parallelism(narrow, min_bytes=1 << 30) is narrow
+        # floor met: rebalanced as usual
+        out = ensure_parallelism(narrow, min_bytes=1)
+        assert out.rdd.getNumPartitions() == \
+            spark.sparkContext.defaultParallelism
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
