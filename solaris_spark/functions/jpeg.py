@@ -258,6 +258,12 @@ def decode_jpeg(buf: bytes,
             raise ValueError("truncated JPEG stream")
         if buf[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        # (some foreign encoders pad with them); skip to the marker byte
+        while i + 1 < n and buf[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > n:
+            raise ValueError("truncated JPEG stream")
         m = buf[i + 1]
         if m == 0xD9:  # EOI
             break
@@ -573,6 +579,13 @@ def _assemble(frame, planes,
     out = []
     for c in comps:
         p = planes[c["id"]]
+        if vmax % c["v"] != 0 or hmax % c["h"] != 0:
+            # T.81 permits sampling factors up to 4; non-dividing ratios
+            # (e.g. 3:2) would misalign the integer box upsample below —
+            # fail clearly instead of stacking misaligned planes
+            raise NotImplementedError(
+                f"non-integer sampling ratio {c['h']}x{c['v']} vs "
+                f"{hmax}x{vmax} is not supported")
         fy, fx = vmax // c["v"], hmax // c["h"]
         if fy > 1 or fx > 1:  # box replication upsample
             p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)

@@ -72,11 +72,21 @@ def spacenet_buildings_eval(spark, prop_csv: str, truth_csv: str,
               .option("escape", '"').csv(path))
         # row_id encodes CSV row order (the reference's per-building
         # index).  monotonically_increasing_id is partition-ordered —
-        # splits of one file come out in offset order — so it preserves
+        # splits of ONE file come out in offset order — so it preserves
         # the CSV row order as a SORT KEY without funnelling the load
         # through a single-partition window.  Downstream (greedy match
         # tie-break, per-row identity) only compares row_ids, never
         # requires them dense, so the sparse ids are equivalent.
+        # API contract (ADVICE r5): the offset-order guarantee does NOT
+        # hold across MULTIPLE files (Spark bin-packs splits by size), so
+        # the input must resolve to a single CSV — asserted here rather
+        # than silently changing reference tie-break order.
+        files = df.inputFiles()
+        if len(files) != 1:
+            raise ValueError(
+                f"challenge CSV loader requires a single file for "
+                f"row-order-stable ids; {path!r} resolved to "
+                f"{len(files)} files")
         cols = [F.col("ImageId").alias("image_id"),
                 F.monotonically_increasing_id().alias("row_id"),
                 F.col("PolygonWKT_Pix").alias("wkt")]

@@ -132,6 +132,22 @@ class TestPydaemonInternals:
             "solaris_spark.pydaemon"
 
 
+class TestJpegAdviceFixes:
+    def test_fill_bytes_before_markers_are_skipped(self):
+        """T.81 B.1.1.2: any number of 0xFF padding bytes may precede a
+        marker (ADVICE r5) — decode must be identical with them present."""
+        from solaris_spark.functions.jpeg import decode_jpeg, encode_jpeg
+        yy, xx = np.mgrid[0:48, 0:64]
+        arr = np.stack([(100 + 50 * np.sin(yy / 9 + c)
+                         + 40 * np.cos(xx / 7 - c)).clip(0, 255)
+                        for c in range(3)]).astype(np.uint8)
+        enc = encode_jpeg(arr, quality=85)
+        base = decode_jpeg(enc)
+        i = enc.index(b"\xff\xdb")
+        for pad in (b"\xff", b"\xff\xff\xff"):
+            assert np.array_equal(base, decode_jpeg(enc[:i] + pad + enc[i:]))
+
+
 class TestEnsureParallelism:
     def test_rebalances_narrow_and_keeps_wide(self, spark):
         from solaris_spark.plans.skew import ensure_parallelism
