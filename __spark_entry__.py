@@ -557,19 +557,25 @@ def q_embedding_knn(spark, sf_dir):
     # the element casts are also per-vector work: casting each side to a
     # double array ONCE (transform) before the join leaves the per-pair
     # fold as a bare multiply-accumulate — same products in the same fold
-    # order, so cosine is bit-identical
+    # order, so cosine is bit-identical.  The 20-row bounded query set is
+    # explicitly BROADCAST and the target side (the big one at scale) is
+    # the STREAMED side, rebalanced to cluster width when its scan is
+    # narrow — otherwise the planner may broadcast the target table and
+    # stream the 20 queries through ONE task, serializing all pair
+    # scoring (measured 8s single-task at 10× sf, guide §2.5/§3.1).
+    from solaris_spark.plans.skew import ensure_parallelism
     norm = "sqrt(aggregate({0}, 0D, (acc, x) -> acc + x * x))"
     q = (e.filter(F.col("vec_id") < 20)
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
                  F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
                  .alias("qvd"))
-         .withColumn("nq", F.expr(norm.format("qvd")))
-         .repartition("qid"))
-    t = (e.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("tv"),
-                  F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-                  .alias("tvd"))
-         .withColumn("nt", F.expr(norm.format("tvd"))))
-    j = q.crossJoin(t).filter(F.col("qid") != F.col("tid"))
+         .withColumn("nq", F.expr(norm.format("qvd"))))
+    t = ensure_parallelism(
+        e.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("tv"),
+                 F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                 .alias("tvd"))
+        .withColumn("nt", F.expr(norm.format("tvd"))))
+    j = t.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("tid"))
     dot = F.expr("aggregate(zip_with(qvd, tvd, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
     j = j.withColumn("cosine", F.round(dot / (F.col("nq") * F.col("nt")), 6))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("tid"))

@@ -141,13 +141,15 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     partial agg; NO bit explosion — the previous formulation shuffled
     tokens×bits rows, 32× the input; VERDICT r01 #5).  All JVM-side.
 
-    The parallelism guard carries a 64 MB size floor: token hashing
-    amplifies less per input byte than shingle hashing, and below the
-    floor the rebalance shuffle costs more than the serial stage saves
-    (measured at sf0.1 — OPTIMIZATION_r06.md)."""
+    The parallelism guard carries a 1 MB size floor (pruned-plan
+    estimate; ≈10 MB raw text ≈ 2M+ tokens ≈ >1.5 s of serial hashing —
+    the measured crossover): below it the rebalance shuffle costs more
+    than the serial stage saves (sf0.1, est 0.25 MB: spread lost
+    0.1-0.3 s), above it the serial stage dominates (10× sf, est
+    1.8 MB: serial 3.8-9.3 s vs spread 1.3 s — OPTIMIZATION_r06.md)."""
     from ..plans.skew import ensure_parallelism
     tok = (ensure_parallelism(docs.select(id_col, text_col),
-                              min_bytes=64 * 1024 * 1024)
+                              min_bytes=1024 * 1024)
            .select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
            .withColumn("h", _md5_int(F.col("tok"))))
     sums = [F.sum(F.when(F.expr(f"shiftrightunsigned(h, {b}) % 2") == 1,
