@@ -60,8 +60,13 @@ def ensure_parallelism(df: DataFrame,
     an unconditional rebalance)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if min_bytes is not None:
-        est = int(df._jdf.queryExecution().optimizedPlan()
-                  .stats().sizeInBytes())
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:
+            # non-classic session (no _jdf): skip the floor, keep the
+            # partition-count guard — rebalancing is the safe default
+            est = min_bytes
         if est < min_bytes:
             return df
     if df.rdd.getNumPartitions() < target:
